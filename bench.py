@@ -1,0 +1,95 @@
+"""Benchmark: GeoMAE pretrain throughput (point clouds / sec / chip).
+
+Runs the full jitted pretrain train step (voxelize + targets + VFE + SST
+encoder/decoder + loss + AdamW update) on synthetic nuScenes-like scenes
+with realistic point/pillar occupancy, on whatever single device JAX
+provides (TPU under the driver; CPU locally).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / (reference A100 throughput) where the reference
+number is the mmdet3d GeoMAE pretrain rate: batch 4/GPU and ~2.6 it/s on
+A100 => ~10.5 samples/s/GPU (BASELINE.json north star: >=2x that).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geomae_tpu.config import CapsConfig, geomae_pretrain_nus, replace
+from geomae_tpu.train.pretrain import init_state, make_train_step
+
+# Estimated reference throughput (samples/sec on one A100, batch 4):
+# no FPS is published (BASELINE.md); mmdet3d SST pretrain logs ~0.38 s/iter
+# at batch 4 on A100-class GPUs => ~10.5 samples/s.
+REFERENCE_SAMPLES_PER_SEC = 10.5
+
+BATCH = 4
+STEPS = 20
+WARMUP = 3
+
+
+def realistic_batch(rng: np.random.Generator, cfg, batch: int):
+    """Synthetic multi-sweep-like scene: clustered points, ~200k/sample."""
+    P = cfg.caps.max_points
+    r = cfg.voxel.point_cloud_range
+    pts = np.empty((batch, P, 5), np.float32)
+    valid = np.zeros((batch, P), bool)
+    for b in range(batch):
+        n = int(rng.integers(int(P * 0.7), P))
+        # ground plane + gaussian object clusters (mimics LiDAR occupancy)
+        n_clusters = 60
+        centers = rng.uniform([r[0], r[1], -2.0], [r[3], r[4], 0.5],
+                              (n_clusters, 3))
+        k = n // (n_clusters + 1)
+        chunks = [rng.normal(c, [1.5, 1.5, 0.6], (k, 3)) for c in centers]
+        ground_n = n - k * n_clusters
+        ground = rng.uniform([r[0], r[1], -1.9], [r[3], r[4], -1.7],
+                             (ground_n, 3))
+        xyz = np.concatenate(chunks + [ground], 0)
+        xyz = np.clip(xyz, [r[0], r[1], r[2]],
+                      [r[3] - 1e-3, r[4] - 1e-3, r[5] - 1e-3])
+        pts[b, :n, :3] = xyz
+        pts[b, :n, 3] = rng.uniform(0, 1, n)
+        pts[b, :n, 4] = rng.uniform(0, 0.45, n)
+        pts[b, n:] = 0
+        valid[b, :n] = True
+    return dict(points=jnp.asarray(pts), point_valid=jnp.asarray(valid))
+
+
+def main():
+    cfg = geomae_pretrain_nus()
+    cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
+                                       max_visible=8192))
+    rng = np.random.default_rng(0)
+    state, tx = init_state(cfg, BATCH, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    batch = realistic_batch(rng, cfg, BATCH)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        key, k = jax.random.split(key)
+        state, losses = step(state, batch, k)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, k = jax.random.split(key)
+        state, losses = step(state, batch, k)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    sps = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "geomae_pretrain_pointclouds_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Masked, cross-replica batch normalization.
+
+The reference's ``NaiveSyncBatchNorm1d`` (``/root/reference/mmdet3d/ops/
+norm.py:28-199``) all-gathers [mean, meansqr] across GPUs.  Under ``jit``
+over a sharded mesh, a plain global masked mean *is* the cross-replica
+mean — XLA inserts the collectives — so the TPU-native SyncBN is just
+masked statistics over the full (sharded) batch.  eps 1e-3, momentum 0.01
+match the GeoMAE configs.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over masked elements of ``x``.
+
+    Args to ``__call__``:
+      x:    [..., C]
+      mask: [...] bool — elements that contribute to the statistics.
+      train: use batch stats (and update running stats) if True.
+    """
+
+    features: int
+    momentum: float = 0.01
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        xf = x.astype(jnp.float32)
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.sum(xf * m, axis=red) / cnt
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=red) / cnt
+            if not self.is_initializing():
+                # torch updates running_var with the *unbiased* estimate
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class MaskedBatchNorm2d(nn.Module):
+    """BatchNorm over NHWC feature maps with an optional spatial mask.
+
+    Replaces ``naiveSyncBN2d`` in the SECOND/FPN conv stages.  ``x`` is
+    [B, H, W, C]; ``mask`` (optional) is [B, H, W].
+    """
+
+    features: int
+    momentum: float = 0.01
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: jnp.ndarray | None = None):
+        bn = MaskedBatchNorm(self.features, self.momentum, self.eps)
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], bool)
+        return bn(x, mask, train)

@@ -1,0 +1,148 @@
+"""SST transformer blocks over band-sorted windows.
+
+Rebuild of ``BasicShiftBlock`` / ``EncoderLayer`` / ``WindowAttention``
+(``/root/reference/mmdet3d/models/sst/sst_basic_block.py:13-147``) on top of
+the band attention core (``ops/attention.py``).  Matching the reference:
+
+* positional embedding is added to q and k only, not v (``:47-52``);
+* post-norm residual layout: x + attn -> LN -> x + FFN -> LN (``:94-100``);
+* each ``BasicShiftBlock`` runs two EncoderLayers alternating the
+  non-shifted / shifted window layout (``:129-145``);
+* GELU FFN, LayerNorm eps 1e-5 (torch defaults), dropout 0 (config).
+
+Tokens stay flat [B, V, C]; per layer we gather into the shift's
+window-sorted order, attend within the band, and scatter back via the
+inverse permutation — instead of the reference's flat2window/window2flat
+scatters into per-drop-level buffers.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import SSTConfig
+from ..ops.attention import band_attention
+from ..ops.windows import WindowLayout
+
+
+def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather: x [B, V, ...], idx [B, V]."""
+    if x.ndim == idx.ndim:
+        return jnp.take_along_axis(x, idx, axis=1)
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - idx.ndim)), axis=1)
+
+
+def prepare_shift_data(layouts: Sequence[WindowLayout],
+                       pos_embeds: Sequence[jnp.ndarray],
+                       key_valid: jnp.ndarray):
+    """Sort pos-embeds and key-validity once per shift.
+
+    Args:
+      layouts: per-shift batched WindowLayouts.
+      pos_embeds: per-shift [B, V, C] in row order.
+      key_valid: [B, V] bool in row order (valid & visible tokens).
+    Returns list of dicts with sorted tensors.
+    """
+    out = []
+    for lay, pos in zip(layouts, pos_embeds):
+        out.append(dict(
+            perm=lay.perm,
+            inv_perm=lay.inv_perm,
+            win_id=lay.win_id,
+            pos_sorted=_take(pos, lay.perm),
+            key_valid_sorted=_take(key_valid, lay.perm),
+        ))
+    return out
+
+
+class WindowMHA(nn.Module):
+    """Multi-head attention with torch ``nn.MultiheadAttention`` param
+    layout (fused qkv projection + out projection)."""
+
+    d_model: int
+    nhead: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
+        B, V, C = x.shape
+        H = self.nhead
+        D = C // H
+        perm, inv_perm = shift_data["perm"], shift_data["inv_perm"]
+        x_s = _take(x, perm)
+        pos = shift_data["pos_sorted"].astype(x.dtype)
+        qk_in = x_s + pos
+
+        # torch fuses q,k,v into one in_proj; we keep three kernels (same
+        # math: q,k see x+pos, v sees x — reference sst_basic_block.py:45-52)
+        q = nn.Dense(C, dtype=self.dtype, name="q_proj",
+                     kernel_init=nn.initializers.xavier_uniform())(qk_in)
+        k = nn.Dense(C, dtype=self.dtype, name="k_proj",
+                     kernel_init=nn.initializers.xavier_uniform())(qk_in)
+        v = nn.Dense(C, dtype=self.dtype, name="v_proj",
+                     kernel_init=nn.initializers.xavier_uniform())(x_s)
+
+        q = q.reshape(B, V, H, D)
+        k = k.reshape(B, V, H, D)
+        v = v.reshape(B, V, H, D)
+        out = band_attention(q, k, v, shift_data["win_id"],
+                             key_valid=shift_data["key_valid_sorted"])
+        out = out.reshape(B, V, C)
+        out = nn.Dense(C, dtype=self.dtype, name="out_proj",
+                       kernel_init=nn.initializers.xavier_uniform())(out)
+        return _take(out, inv_perm)
+
+
+class EncoderLayer(nn.Module):
+    """Attention + FFN with post-norm residuals (reference ``:84-102``)."""
+
+    cfg: SSTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
+        c = self.cfg
+        a = WindowMHA(c.d_model, c.nhead, self.dtype, name="win_attn")(
+            x, shift_data)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
+        act = nn.gelu if c.activation == "gelu" else nn.relu
+        h = nn.Dense(c.dim_feedforward, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear1")(x)
+        h = nn.Dense(c.d_model, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear2")(act(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+
+
+class BasicShiftBlock(nn.Module):
+    """Two encoder layers: non-shifted then shifted windows."""
+
+    cfg: SSTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        n = len(shift_datas)
+        for i in range(2):
+            x = EncoderLayer(self.cfg, self.dtype, name=f"encoder_{i}")(
+                x, shift_datas[i % n])
+        return x
+
+
+class SSTStack(nn.Module):
+    """A stack of BasicShiftBlocks sharing pre-sorted shift data."""
+
+    cfg: SSTConfig
+    num_blocks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        for i in range(self.num_blocks):
+            x = BasicShiftBlock(self.cfg, self.dtype, name=f"block_{i}")(
+                x, shift_datas)
+        return x

@@ -1,0 +1,125 @@
+"""Static shifted-window layout engine.
+
+TPU-native re-expression of SST's window machinery
+(``/root/reference/mmdet3d/ops/sst/sst_ops.py:272-388`` —
+``get_window_coors`` / ``get_inner_win_inds`` / ``flat2window``) and the MAE
+backbone's embedded copy
+(``mmdet3d/models/backbones/multi_mae_sst_spearate_top_only.py:629-659``).
+
+Instead of scattering tokens into per-drop-level ``[num_win, max_tokens, C]``
+buffers, we *sort tokens by window id* once per shift.  Tokens of one window
+are then contiguous, and windowed attention becomes **band attention**: each
+query attends to a fixed ±W band of sorted positions masked by
+``same-window``.  Because a 12x12 BEV window holds at most 144 distinct
+pillars, a band of 144 each side always covers the full window — no token is
+ever dropped, which exactly matches the shipped configs (drop-free by
+construction; SURVEY.md §8.4, §8.13).
+
+All outputs are static-shape [V] arrays per sample (vmap over batch).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SSTConfig, VoxelConfig
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class WindowLayout(NamedTuple):
+    """Per-shift sorted window layout (leading batch dim once vmapped).
+
+    Attributes:
+      perm:     int32 [V] — ``perm[s]`` = table row at sorted position s.
+      inv_perm: int32 [V] — sorted position of each table row.
+      win_id:   int32 [V] — window id at each *sorted* position (invalid
+                rows hold INT32_MAX so they sort last and match nothing).
+      coors_in_win: int32 [V, 2] — (x, y) offsets inside the window, in
+                *row* order (not sorted order), matching the reference's
+                ``coors_in_win`` (backbone ``:655-657``).
+    """
+
+    perm: jnp.ndarray
+    inv_perm: jnp.ndarray
+    win_id: jnp.ndarray
+    coors_in_win: jnp.ndarray
+
+
+def window_ids(coords: jnp.ndarray, valid: jnp.ndarray,
+               shift: Tuple[int, int], sst: SSTConfig, voxel: VoxelConfig):
+    """Window id + in-window coords per pillar (one sample, one shift).
+
+    Matches ``window_partition`` (backbone ``:629-659``): coordinates are
+    shifted by ``win_shape - shift`` when shift > 0, window id hashes as
+    ``wx * max_num_win_y + wy`` (x-major; the reference's batch term drops
+    out because we are per-sample).
+    """
+    win_x, win_y = sst.window_shape
+    ny, nx = voxel.grid_size
+    shift_x, shift_y = shift
+    max_num_win_y = int(math.ceil(ny / win_y)) + 1
+
+    x = coords[:, 1] + (win_x - shift_x if shift_x > 0 else 0)
+    y = coords[:, 0] + (win_y - shift_y if shift_y > 0 else 0)
+    wx, wy = x // win_x, y // win_y
+    win = wx * max_num_win_y + wy
+    win = jnp.where(valid, win, INT32_MAX)
+    coors_in_win = jnp.stack([x % win_x, y % win_y], axis=-1)  # (x, y)
+    return win.astype(jnp.int32), coors_in_win.astype(jnp.int32)
+
+
+def make_layout(coords: jnp.ndarray, valid: jnp.ndarray,
+                shift: Tuple[int, int], sst: SSTConfig,
+                voxel: VoxelConfig) -> WindowLayout:
+    """Build the sorted band layout for one sample and one shift."""
+    win, ciw = window_ids(coords, valid, shift, sst, voxel)
+    perm = jnp.argsort(win, stable=True).astype(jnp.int32)
+    inv_perm = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return WindowLayout(perm=perm, inv_perm=inv_perm, win_id=win[perm],
+                        coors_in_win=ciw)
+
+
+def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
+                 voxel: VoxelConfig) -> Tuple[WindowLayout, ...]:
+    """All shifts, batched: coords [B, V, 2], valid [B, V]."""
+    outs = []
+    for shift in sst.shifts:
+        outs.append(jax.vmap(
+            lambda c, m, s=shift: make_layout(c, m, s, sst, voxel)
+        )(coords, valid))
+    return tuple(outs)
+
+
+def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal in-window positional embedding.
+
+    Bit-matches ``get_pos_embed`` (backbone ``:361-399``): offsets centered
+    at the window middle, ``inv_freq = T^(2*(i//2)/pos_length)``, interleaved
+    sin/cos per axis, x then y concatenated.  Added to q and k only.
+
+    Args: coors_in_win [..., 2] (x, y).  Returns [..., d_model].
+    """
+    win_x, win_y = sst.window_shape
+    x = coors_in_win[..., 0].astype(jnp.float32) - win_x / 2
+    y = coors_in_win[..., 1].astype(jnp.float32) - win_y / 2
+    if sst.normalize_pos:
+        x = x / win_x * 2 * 3.1415
+        y = y / win_y * 2 * 3.1415
+    pos_length = sst.d_model // 2
+    i = jnp.arange(pos_length, dtype=jnp.float32)
+    inv_freq = sst.pos_temperature ** (2 * (i // 2) / pos_length)
+    ex = x[..., None] / inv_freq
+    ey = y[..., None] / inv_freq
+    # interleave: stack([sin(even), cos(odd)], -1).flatten == the reference's
+    # torch.stack([e[:, ::2].sin(), e[:, 1::2].cos()], -1).flatten(1)
+    def _mix(e):
+        s = jnp.sin(e[..., 0::2])
+        c = jnp.cos(e[..., 1::2])
+        return jnp.stack([s, c], axis=-1).reshape(e.shape[:-1] + (pos_length,))
+    return jnp.concatenate([_mix(ex), _mix(ey)], axis=-1).astype(dtype)

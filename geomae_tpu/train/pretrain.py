@@ -1,0 +1,109 @@
+"""GeoMAE pretrain: init + jittable train/eval steps.
+
+This is the TPU-native counterpart of the reference call stack
+``EpochBasedRunner.train -> MultiSubVoxelDynamicVoxelNetSSL.forward_train``
+(SURVEY.md §3.1): one pure function voxelizes, computes geometric targets,
+samples the mask, runs the model, and returns the loss dict; ``jax.jit``
+over a data-sharded mesh replaces DDP.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PretrainConfig
+from ..models.mae import (GeoMAE, compute_targets_batch, pretrain_loss,
+                          sample_mask)
+from ..ops.voxelize import voxelize_batch
+from .optim import make_optimizer
+from .state import TrainState
+
+
+def build_model(cfg: PretrainConfig) -> GeoMAE:
+    return GeoMAE(cfg)
+
+
+def dummy_batch(cfg: PretrainConfig, batch_size: int, seed: int = 0) -> Dict:
+    """A synthetic batch with plausible point statistics (for init/tests)."""
+    rng = jax.random.PRNGKey(seed)
+    P = cfg.caps.max_points
+    r = cfg.voxel.point_cloud_range
+    k1, k2 = jax.random.split(rng)
+    lo = jnp.array([r[0], r[1], r[2], 0.0, 0.0])
+    hi = jnp.array([r[3], r[4], r[5], 1.0, 0.45])
+    pts = jax.random.uniform(k1, (batch_size, P, 5)) * (hi - lo) + lo
+    n = jax.random.randint(k2, (batch_size,), P // 2, P)
+    valid = jnp.arange(P)[None, :] < n[:, None]
+    return dict(points=pts.astype(jnp.float32), point_valid=valid)
+
+
+def forward(cfg: PretrainConfig, variables, batch, rng, train: bool):
+    """Voxelize -> targets -> mask -> model.  Returns (losses, new_stats)."""
+    model = build_model(cfg)
+    points, point_valid = batch["points"], batch["point_valid"]
+    table = voxelize_batch(points[..., :3], point_valid, cfg.voxel,
+                           cfg.caps.max_voxels)
+    targets = jax.tree_util.tree_map(
+        jax.lax.stop_gradient,
+        compute_targets_batch(points[..., :3], point_valid, table, cfg))
+    keep = sample_mask(rng, table.valid, cfg.mae.random_mask_ratio)
+
+    if train:
+        preds, mut = model.apply(variables, points, point_valid, table, keep,
+                                 train=True, mutable=["batch_stats"])
+        new_stats = mut["batch_stats"]
+    else:
+        preds = model.apply(variables, points, point_valid, table, keep,
+                            train=False)
+        new_stats = variables["batch_stats"]
+    losses = pretrain_loss(preds, targets, table.valid, keep, cfg)
+    return losses, new_stats
+
+
+def init_state(cfg: PretrainConfig, batch_size: int,
+               rng: jax.Array) -> Tuple[TrainState, object]:
+    model = build_model(cfg)
+    batch = dummy_batch(cfg, batch_size)
+    table = voxelize_batch(batch["points"][..., :3], batch["point_valid"],
+                           cfg.voxel, cfg.caps.max_voxels)
+    k_init, k_mask = jax.random.split(rng)
+    keep = sample_mask(k_mask, table.valid, cfg.mae.random_mask_ratio)
+    variables = model.init(k_init, batch["points"], batch["point_valid"],
+                           table, keep, train=False)
+    tx = make_optimizer(cfg.optim)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]))
+    return state, tx
+
+
+def make_train_step(cfg: PretrainConfig, tx):
+    """Returns jittable ``step(state, batch, rng) -> (state, metrics)``."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        losses, new_stats = forward(
+            cfg, {"params": params, "batch_stats": batch_stats},
+            batch, rng, train=True)
+        return losses["loss"], (losses, new_stats)
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        new_state = state.apply_gradients(grads, tx, new_stats)
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(cfg: PretrainConfig):
+    def eval_step(state: TrainState, batch, rng):
+        losses, _ = forward(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            batch, rng, train=False)
+        return losses
+    return eval_step

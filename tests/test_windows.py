@@ -1,0 +1,136 @@
+"""Window layout + band attention correctness vs per-window brute force."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geomae_tpu.config import SSTConfig, VoxelConfig
+from geomae_tpu.ops import windows as W
+from geomae_tpu.ops.attention import band_attention
+
+VOX = VoxelConfig(point_cloud_range=(-15.36, -15.36, -5.0, 15.36, 15.36, 3.0),
+                  voxel_size=(0.256, 0.256, 8.0))  # 120x120 grid
+SST = SSTConfig(d_model=16, nhead=2)
+
+
+def random_table(rng, V, n_real):
+    ny, nx = VOX.grid_size
+    cells = rng.choice(ny * nx, size=n_real, replace=False)
+    coords = np.zeros((V, 2), np.int32)
+    coords[:n_real, 0] = cells // nx
+    coords[:n_real, 1] = cells % nx
+    valid = np.zeros(V, bool)
+    valid[:n_real] = True
+    return jnp.asarray(coords), jnp.asarray(valid)
+
+
+def test_window_ids_match_reference_formula(rng):
+    coords, valid = random_table(rng, 256, 200)
+    ny, nx = VOX.grid_size
+    win_y, win_x = SST.window_shape[1], SST.window_shape[0]
+    for shift in SST.shifts:
+        win, ciw = W.window_ids(coords, valid, shift, SST, VOX)
+        c = np.asarray(coords)
+        sx = 0 if shift[0] == 0 else win_x - shift[0]
+        sy = 0 if shift[1] == 0 else win_y - shift[1]
+        x, y = c[:, 1] + sx, c[:, 0] + sy
+        max_num_win_y = int(np.ceil(ny / win_y)) + 1
+        want = (x // win_x) * max_num_win_y + (y // win_y)
+        v = np.asarray(valid)
+        np.testing.assert_array_equal(np.asarray(win)[v], want[v])
+        np.testing.assert_array_equal(np.asarray(ciw)[v, 0], (x % win_x)[v])
+        np.testing.assert_array_equal(np.asarray(ciw)[v, 1], (y % win_y)[v])
+
+
+def test_layout_roundtrip(rng):
+    coords, valid = random_table(rng, 256, 180)
+    lay = W.make_layout(coords, valid, (6, 6), SST, VOX)
+    perm, inv = np.asarray(lay.perm), np.asarray(lay.inv_perm)
+    np.testing.assert_array_equal(perm[inv], np.arange(256))
+    # sorted win ids ascending, invalid last
+    wid = np.asarray(lay.win_id)
+    assert np.all(np.diff(wid.astype(np.int64)) >= 0)
+
+
+def brute_window_attention(q, k, v, win, key_valid):
+    """Per-window dense softmax attention oracle (numpy)."""
+    V, H, D = q.shape
+    out = np.zeros_like(q)
+    for w in np.unique(win):
+        rows = np.where(win == w)[0]
+        krows = rows[key_valid[rows]]
+        if len(krows) == 0:
+            continue
+        for h in range(H):
+            s = q[rows, h] @ k[krows, h].T / np.sqrt(D)
+            s = s - s.max(-1, keepdims=True)
+            p = np.exp(s)
+            p = p / p.sum(-1, keepdims=True)
+            out[rows, h] = p @ v[krows, h]
+    return out
+
+
+def test_band_attention_vs_bruteforce(rng):
+    V, H, D = 256, 2, 8
+    coords, valid = random_table(rng, V, 200)
+    lay = W.make_layout(coords, valid, (0, 0), SST, VOX)
+    q = rng.normal(size=(V, H, D)).astype(np.float32)
+    k = rng.normal(size=(V, H, D)).astype(np.float32)
+    v = rng.normal(size=(V, H, D)).astype(np.float32)
+    key_valid = (rng.random(V) > 0.5) & np.asarray(valid)
+
+    perm = np.asarray(lay.perm)
+    win_sorted = np.asarray(lay.win_id)
+    kv_sorted = key_valid[perm]
+    got = band_attention(
+        jnp.asarray(q[perm])[None], jnp.asarray(k[perm])[None],
+        jnp.asarray(v[perm])[None], jnp.asarray(win_sorted)[None],
+        key_valid=jnp.asarray(kv_sorted)[None], tile=64, nbands=3)
+    got = np.asarray(got)[0]
+
+    want_sorted = brute_window_attention(q[perm], k[perm], v[perm],
+                                         win_sorted, kv_sorted)
+    vmask = np.asarray(valid)[perm] & np.array(
+        [kv_sorted[win_sorted == w].any() for w in win_sorted])
+    np.testing.assert_allclose(got[vmask], want_sorted[vmask],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_band_covers_full_window(rng):
+    """A completely full 12x12 window (144 tokens) must attend globally."""
+    win_y, win_x = 12, 12
+    V = 256
+    coords = np.zeros((V, 2), np.int32)
+    # one full window at (y, x) in [24, 36)
+    idx = 0
+    for y in range(24, 36):
+        for x in range(24, 36):
+            coords[idx] = (y, x)
+            idx += 1
+    valid = np.zeros(V, bool)
+    valid[:idx] = True
+    lay = W.make_layout(jnp.asarray(coords), jnp.asarray(valid), (0, 0),
+                        SST, VOX)
+    H, D = 1, 4
+    q = rng.normal(size=(V, H, D)).astype(np.float32)
+    k = rng.normal(size=(V, H, D)).astype(np.float32)
+    v = rng.normal(size=(V, H, D)).astype(np.float32)
+    perm = np.asarray(lay.perm)
+    got = np.asarray(band_attention(
+        jnp.asarray(q[perm])[None], jnp.asarray(k[perm])[None],
+        jnp.asarray(v[perm])[None], jnp.asarray(lay.win_id)[None],
+        key_valid=jnp.asarray(valid[perm])[None], tile=128, nbands=2))[0]
+    want = brute_window_attention(q[perm], k[perm], v[perm],
+                                  np.asarray(lay.win_id), valid[perm])
+    m = valid[perm]
+    np.testing.assert_allclose(got[m], want[m], rtol=2e-4, atol=2e-5)
+
+
+def test_pos_embed_properties():
+    sst = SSTConfig(d_model=128, nhead=8)
+    ciw = jnp.stack(jnp.meshgrid(jnp.arange(12), jnp.arange(12),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    pe = np.asarray(W.positional_embedding(ciw, sst))
+    assert pe.shape == (144, 128)
+    assert np.all(np.isfinite(pe)) and np.all(np.abs(pe) <= 1.0)
+    # distinct positions -> distinct embeddings
+    assert len(np.unique(pe.round(5), axis=0)) == 144
