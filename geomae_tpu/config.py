@@ -309,6 +309,27 @@ def geomae_finetune_nus(**overrides) -> FinetuneConfig:
     return replace(FinetuneConfig(), **overrides) if overrides else FinetuneConfig()
 
 
+def tiny_finetune_config() -> FinetuneConfig:
+    """Small fine-tune config for CPU tests: 40x40 grid, tiny caps."""
+    voxel = VoxelConfig(
+        point_cloud_range=(-5.0, -5.0, -5.0, 5.0, 5.0, 3.0),
+        voxel_size=(0.25, 0.25, 8.0),
+    )
+    caps = CapsConfig(max_points=2048, max_voxels=256, max_visible=256)
+    vfe = VFEConfig(feat_channels=(16, 32))
+    sst = SSTConfig(d_model=32, nhead=4, dim_feedforward=64)
+    second = SECONDConfig(in_channels=32, out_channels=(32, 32, 64),
+                          layer_nums=(1, 1, 1))
+    fpn = FPNConfig(in_channels=(32, 32, 64), out_channels=(32, 32, 32))
+    rngs = tuple((-4.8, -4.8, z, 4.8, 4.8, z) for z in
+                 (-1.8, -1.74, -1.68, -1.67, -1.61, -1.8, -1.76))
+    head = AnchorHeadConfig(in_channels=96, feat_channels=96,
+                            anchor_ranges=rngs, nms_pre=128, max_num=32)
+    return FinetuneConfig(voxel=voxel, caps=caps, vfe=vfe, sst=sst,
+                          num_blocks=2, second=second, fpn=fpn, head=head,
+                          max_gt_boxes=32, compute_dtype="float32")
+
+
 def tiny_pretrain_config() -> PretrainConfig:
     """Small config for CPU tests: 40x40 grid, tiny caps."""
     voxel = VoxelConfig(

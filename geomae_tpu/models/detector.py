@@ -1,0 +1,62 @@
+"""DynamicVoxelNet — the SST detection fine-tune model.
+
+Rebuilds the reference fine-tune stack (SURVEY.md §3.2):
+``DynamicVoxelNet.extract_feat`` (``/root/reference/mmdet3d/models/
+detectors/dynamic_voxelnet.py:39-54``) = dynamic voxelize ->
+DynamicScatterVFE -> SSTInputLayer (here: band window layouts) -> 6 SST
+blocks -> recover_bev -> SECOND stages -> SECONDFPN -> Anchor3DHead.
+
+The SST encoder sub-tree is named ``encoder`` and the VFE
+``voxel_encoder`` so GeoMAE pretrain checkpoints drop in by name
+(reference ``load_from`` semantics, ``configs/pre_sst/...6x_1e-5.py:280``).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import FinetuneConfig
+from ..ops.voxelize import VoxelTable, voxelize_batch
+from ..ops.windows import make_layouts, positional_embedding, window_ids
+from .anchor_head import Anchor3DHead, HeadOutputs
+from .second import SECONDFPN, SECONDStages, recover_bev
+from .sst import SSTStack, prepare_shift_data
+from .vfe import DynamicScatterVFE
+
+
+class DynamicVoxelNet(nn.Module):
+    cfg: FinetuneConfig
+
+    @nn.compact
+    def __call__(self, points, point_valid, table: VoxelTable,
+                 train: bool = True) -> HeadOutputs:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        ny, nx = cfg.voxel.grid_size
+
+        feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
+                                  name="voxel_encoder")(
+            points, point_valid, table, train)
+
+        layouts = make_layouts(table.coords, table.valid, cfg.sst, cfg.voxel)
+        pos = []
+        for s in cfg.sst.shifts:
+            ciw = jax.vmap(lambda c, m, ss=s: window_ids(
+                c, m, ss, cfg.sst, cfg.voxel)[1])(table.coords, table.valid)
+            pos.append(positional_embedding(ciw, cfg.sst))
+        shift_data = prepare_shift_data(layouts, pos, table.valid)
+
+        x = feats.astype(dtype)
+        x = SSTStack(cfg.sst, cfg.num_blocks, dtype, name="encoder")(
+            x, shift_data)
+
+        bev = recover_bev(x, table.coords, table.valid, ny, nx)
+        stages = SECONDStages(cfg.second, dtype, name="second")(bev, train)
+        fpn = SECONDFPN(cfg.fpn, dtype, name="neck")(stages, train)
+        return Anchor3DHead(cfg.head, dtype, name="bbox_head")(fpn)
+
+
+def extract_table(cfg: FinetuneConfig, points, point_valid) -> VoxelTable:
+    return voxelize_batch(points[..., :3], point_valid, cfg.voxel,
+                          cfg.caps.max_voxels)

@@ -212,7 +212,8 @@ class GeoMAE(nn.Module):
         vis_cap = cfg.caps.max_visible
         s_low, s_med = cfg.voxel.num_slots_low, cfg.voxel.num_slots_med
 
-        voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, name="voxel_encoder")(
+        voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
+                                        name="voxel_encoder")(
             points, point_valid, table, train)
 
         # ---- encoder over compacted visible tokens ------------------------

@@ -134,15 +134,23 @@ class BasicShiftBlock(nn.Module):
 
 
 class SSTStack(nn.Module):
-    """A stack of BasicShiftBlocks sharing pre-sorted shift data."""
+    """A stack of BasicShiftBlocks sharing pre-sorted shift data.
+
+    Each block is rematerialized (``nn.remat``): the attention weight
+    buffers are recomputed in the backward pass instead of stored, which is
+    what keeps the 20k-token decoder inside HBM (the reference exposes the
+    same trade via ``checkpoint_blocks``)."""
 
     cfg: SSTConfig
     num_blocks: int
     dtype: jnp.dtype = jnp.float32
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        block_cls = nn.remat(BasicShiftBlock) if self.remat else \
+            BasicShiftBlock
         for i in range(self.num_blocks):
-            x = BasicShiftBlock(self.cfg, self.dtype, name=f"block_{i}")(
+            x = block_cls(self.cfg, self.dtype, name=f"block_{i}")(
                 x, shift_datas)
         return x

@@ -52,10 +52,11 @@ class DynamicVFELayer(nn.Module):
     out_channels: int
     bn_eps: float = 1e-3
     bn_momentum: float = 0.01
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        x = nn.Dense(self.out_channels, use_bias=False,
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=torch_linear_init, name="linear")(x)
         x = MaskedBatchNorm(self.out_channels, self.bn_momentum,
                             self.bn_eps, name="norm")(x, mask, train)
@@ -72,6 +73,7 @@ class DynamicScatterVFE(nn.Module):
 
     cfg: VFEConfig
     voxel: VoxelConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, point_valid: jnp.ndarray,
@@ -100,12 +102,13 @@ class DynamicScatterVFE(nn.Module):
         if self.cfg.with_distance:
             feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
         x = jnp.concatenate(feats, axis=-1)
-        x = jnp.where(point_valid[..., None], x, 0.0)
+        x = jnp.where(point_valid[..., None], x, 0.0).astype(self.dtype)
 
         chans = list(self.cfg.feat_channels)
         for i, ch in enumerate(chans):
             x = DynamicVFELayer(ch, self.cfg.bn_eps, self.cfg.bn_momentum,
-                                name=f"vfe_{i}")(x, point_valid, train)
+                                self.dtype, name=f"vfe_{i}")(
+                                    x, point_valid, train)
             vmax = _seg_max_b(x, p2v, v_cap, point_valid)
             if i != len(chans) - 1:
                 x = jnp.concatenate([x, _gather_b(vmax, p2v)], axis=-1)

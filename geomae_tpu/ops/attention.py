@@ -78,10 +78,13 @@ def band_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = jnp.where(mask[:, :, None], scores, _NEG)
     scores = scores - jax.lax.stop_gradient(
         jnp.max(scores, axis=-1, keepdims=True))
-    w = jnp.exp(scores)
-    w = jnp.where(mask[:, :, None], w, 0.0)
-    denom = jnp.sum(w, axis=-1, keepdims=True)
-    w = w / jnp.maximum(denom, 1e-20)
-    out = jnp.einsum("bnhqk,bnkhd->bnqhd", w.astype(v.dtype), v_b,
+    # keep the [.., q, k] weight buffer in the compute dtype (bf16 on TPU)
+    # and normalize AFTER the AV matmul — halves the largest transient and
+    # lets XLA fuse the exp into the einsum epilogue.
+    w = jnp.exp(scores).astype(v.dtype)
+    w = jnp.where(mask[:, :, None], w, 0)
+    denom = jnp.sum(w.astype(jnp.float32), axis=-1)        # [B, nt, H, q]
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", w, v_b,
                      preferred_element_type=jnp.float32)
+    out = out / jnp.maximum(denom, 1e-20).transpose(0, 1, 3, 2)[..., None]
     return out.reshape(B, V, H, D).astype(v.dtype)

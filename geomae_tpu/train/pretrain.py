@@ -71,8 +71,9 @@ def init_state(cfg: PretrainConfig, batch_size: int,
                            cfg.voxel, cfg.caps.max_voxels)
     k_init, k_mask = jax.random.split(rng)
     keep = sample_mask(k_mask, table.valid, cfg.mae.random_mask_ratio)
-    variables = model.init(k_init, batch["points"], batch["point_valid"],
-                           table, keep, train=False)
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(k_init, batch["points"], batch["point_valid"],
+                        table, keep)
     tx = make_optimizer(cfg.optim)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
