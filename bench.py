@@ -79,7 +79,8 @@ def main():
     for i in range(STEPS):
         key, k = jax.random.split(key)
         state, losses = step(state, batch, k)
-    jax.block_until_ready(losses)
+        jax.block_until_ready(losses)   # per-step: async dispatch through
+        # the remote relay otherwise under-reports wall time
     dt = time.perf_counter() - t0
 
     sps = BATCH * STEPS / dt

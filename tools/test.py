@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Eval CLI — the ``tools/test.py`` counterpart
+(``/root/reference/tools/test.py``): load a checkpoint, run inference over
+the val set, compute nuScenes metrics (built-in numpy protocol) and/or dump
+a devkit-compatible results JSON.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from geomae_tpu import config as C  # noqa: E402
+from geomae_tpu.data.nuscenes import NUS_CLASSES, NuScenesDetDataset  # noqa: E402
+from geomae_tpu.eval.nuscenes_eval import evaluate, format_results_json  # noqa: E402
+from geomae_tpu.train import finetune as FT  # noqa: E402
+from geomae_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="geomae-tpu eval")
+    p.add_argument("--work-dir", required=True,
+                   help="train work dir holding ckpt/")
+    p.add_argument("--data-root", default="data/nuscenes")
+    p.add_argument("--ann-file", default="nuscenes_infos_val.pkl")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--out", default=None, help="results JSON path")
+    p.add_argument("--eval", action="store_true", default=True)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = C.tiny_finetune_config() if args.tiny else C.geomae_finetune_nus()
+    cfg = C.replace(cfg, data=C.replace(cfg.data, data_root=args.data_root,
+                                        ann_file=args.ann_file))
+
+    ds = NuScenesDetDataset(cfg.data, cfg.voxel, cfg.caps, cfg.max_gt_boxes,
+                            test_mode=True)
+    n = len(ds) if args.max_frames is None else min(args.max_frames, len(ds))
+
+    state, _ = FT.init_state(cfg, args.batch_size, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(args.work_dir, "ckpt"))
+    state = ckpt.restore(state)
+    predict = jax.jit(FT.make_predict_fn(cfg))
+
+    preds, gts, tokens = [], [], []
+    bs = args.batch_size
+    for start in range(0, n, bs):
+        idxs = list(range(start, min(start + bs, n)))
+        while len(idxs) < bs:
+            idxs.append(idxs[-1])
+        samples = [ds.__getitem__(i, seed=0) for i in idxs]
+        batch = {k: np.stack([s[k] for s in samples])
+                 for k in ("points", "point_valid")}
+        det = predict(state, batch)
+        for j, i in enumerate(idxs[:min(bs, n - start)]):
+            v = np.asarray(det.valid[j])
+            preds.append(dict(boxes=np.asarray(det.boxes[j])[v],
+                              scores=np.asarray(det.scores[j])[v],
+                              labels=np.asarray(det.labels[j])[v]))
+            b, l = ds.get_ann(i)
+            gts.append(dict(boxes=b, labels=l))
+            tokens.append(ds.infos[i].get("token", str(i)))
+
+    if args.out:
+        payload = format_results_json(tokens, preds, NUS_CLASSES)
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f)
+        print(f"wrote {args.out}")
+    if args.eval:
+        metrics = evaluate(preds, gts, NUS_CLASSES)
+        print(json.dumps({k: round(v, 4) for k, v in metrics.items()},
+                         indent=2))
+
+
+if __name__ == "__main__":
+    main()
