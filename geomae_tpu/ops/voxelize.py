@@ -141,6 +141,45 @@ def sub_voxel_slots(low_coords: jnp.ndarray, cfg: VoxelConfig):
     return slot_low.astype(jnp.int32), slot_med.astype(jnp.int32)
 
 
+def hard_voxelize(points: jnp.ndarray, point_valid: jnp.ndarray,
+                  table: VoxelTable, max_points: int):
+    """Gather points into a dense per-voxel buffer (hard voxelization).
+
+    Replaces the CUDA ``hard_voxelize`` (``mmdet3d/ops/voxel/src/
+    voxelization.h:7-136``) given an existing :class:`VoxelTable`: each
+    voxel keeps its first ``max_points`` points (by sorted order —
+    point order is shuffled upstream, matching the reference's arbitrary
+    intra-voxel order).
+
+    Returns:
+      voxels: [V, max_points, D] (zeros padded),
+      num_points: int32 [V] (clamped to max_points).
+    """
+    P, D = points.shape
+    v_cap = table.valid.shape[0]
+    p2v = table.point2voxel
+    # rank of each point within its voxel: order by (voxel, position)
+    key = jnp.where(point_valid, p2v, v_cap)
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    pos = jnp.arange(P, dtype=jnp.int32)
+    seg_start = jnp.where(first, pos, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank_sorted = pos - seg_start
+    rank = jnp.zeros(P, jnp.int32).at[order].set(rank_sorted)
+
+    ok = point_valid & (p2v < v_cap) & (rank < max_points)
+    slot = jnp.where(ok, p2v * max_points + rank, v_cap * max_points)
+    voxels = jnp.zeros((v_cap * max_points + 1, D), points.dtype)
+    voxels = voxels.at[slot].set(points, mode="drop")
+    voxels = voxels[:-1].reshape(v_cap, max_points, D)
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), jnp.where(ok, p2v, v_cap),
+        num_segments=v_cap + 1)[:v_cap]
+    return voxels, jnp.minimum(counts, max_points)
+
+
 def dense_hash(coords: jnp.ndarray, valid: jnp.ndarray, ny: int, nx: int,
                v_cap: int) -> jnp.ndarray:
     """Dense (y, x) -> pillar-row lookup table for one sample.

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Component-level wall-time profile of the pretrain step on the current
+device (the ``jax.profiler``-lite used to attribute step time).
+
+Each stage is timed with inputs perturbed per call (defeats any
+executable+args memoization in remote-execution backends) and synchronized
+by fetching a scalar reduction of all outputs.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bench import realistic_batch  # noqa: E402
+from geomae_tpu.config import CapsConfig, geomae_pretrain_nus, replace  # noqa: E402
+from geomae_tpu.models.mae import GeoMAE, compute_targets_batch, sample_mask  # noqa: E402
+from geomae_tpu.ops.voxelize import voxelize_batch  # noqa: E402
+from geomae_tpu.train.pretrain import forward, init_state  # noqa: E402
+
+
+def main():
+    cfg = geomae_pretrain_nus()
+    cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
+                                       max_visible=8192))
+    B = 4
+    rng = np.random.default_rng(0)
+    batch = realistic_batch(rng, cfg, B)
+    pts, pv = batch["points"], batch["point_valid"]
+
+    def scalarize(out):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
+
+    def bench(name, fn, n=4):
+        f = jax.jit(lambda i: scalarize(fn(i)))
+        float(f(jnp.float32(0)))
+        t0 = time.perf_counter()
+        for i in range(1, n + 1):
+            float(f(jnp.float32(i)))
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:26s} {dt * 1000:8.1f} ms", flush=True)
+
+    eps = 1e-5
+    bench("voxelize", lambda i: voxelize_batch(
+        pts[..., :3] + i * eps, pv, cfg.voxel, cfg.caps.max_voxels))
+    tab = voxelize_batch(pts[..., :3], pv, cfg.voxel, cfg.caps.max_voxels)
+    bench("targets", lambda i: compute_targets_batch(
+        pts[..., :3] + i * eps, pv, tab, cfg))
+    keep = sample_mask(jax.random.PRNGKey(0), tab.valid, 0.7)
+    state, _ = init_state(cfg, B, jax.random.PRNGKey(0))
+    model = GeoMAE(cfg)
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    bench("model fwd (eval)", lambda i: model.apply(
+        vars_, pts + i * eps, pv, tab, keep, train=False))
+
+    def lf(p, i):
+        losses, _ = forward(
+            cfg, {"params": p, "batch_stats": state.batch_stats},
+            dict(points=pts + i * eps, point_valid=pv),
+            jax.random.PRNGKey(1), train=True)
+        return losses["loss"]
+
+    bench("full fwd+targets", lambda i: lf(state.params, i))
+    bench("grad", lambda i: jax.grad(lf)(state.params, i), n=3)
+
+
+if __name__ == "__main__":
+    main()
