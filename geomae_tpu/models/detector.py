@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FinetuneConfig
-from ..ops.voxelize import VoxelTable, voxelize_batch
+from ..ops.voxelize import Scene, build_scene_batch
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .anchor_head import Anchor3DHead, HeadOutputs
 from .second import SECONDFPN, SECONDStages, recover_bev
@@ -29,15 +29,14 @@ class DynamicVoxelNet(nn.Module):
     cfg: FinetuneConfig
 
     @nn.compact
-    def __call__(self, points, point_valid, table: VoxelTable,
-                 train: bool = True) -> HeadOutputs:
+    def __call__(self, scene: Scene, train: bool = True) -> HeadOutputs:
         cfg = self.cfg
+        table = scene.table
         dtype = jnp.dtype(cfg.compute_dtype)
         ny, nx = cfg.voxel.grid_size
 
         feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
-                                  name="voxel_encoder")(
-            points, point_valid, table, train)
+                                  name="voxel_encoder")(scene, train)
 
         layouts = make_layouts(table.coords, table.valid, cfg.sst, cfg.voxel)
         pos = []
@@ -57,6 +56,6 @@ class DynamicVoxelNet(nn.Module):
         return Anchor3DHead(cfg.head, dtype, name="bbox_head")(fpn)
 
 
-def extract_table(cfg: FinetuneConfig, points, point_valid) -> VoxelTable:
-    return voxelize_batch(points[..., :3], point_valid, cfg.voxel,
-                          cfg.caps.max_voxels)
+def extract_scene(cfg: FinetuneConfig, points, point_valid) -> Scene:
+    return build_scene_batch(points, point_valid, cfg.voxel,
+                             cfg.caps.max_voxels)

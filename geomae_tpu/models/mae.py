@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
-from ..ops.voxelize import VoxelTable, neighbor_rows, sub_voxel_slots
+from ..ops.voxelize import Scene, VoxelTable, neighbor_rows
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .sst import SSTStack, prepare_shift_data
 from .vfe import DynamicScatterVFE
@@ -86,31 +86,45 @@ def _normalize_sub_voxel(cent_zyx, coords, ratio, voxel, level_size_zyx):
     return (cent_zyx - (coor * size + origin)) / size
 
 
-def compute_targets(points_xyz: jnp.ndarray, point_valid: jnp.ndarray,
-                    table: VoxelTable, cfg: PretrainConfig) -> GeoMAETargets:
-    """Pure target computation for one sample (vmap over batch)."""
+def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
+    """Pure target computation for one sample (vmap over batch).
+
+    One SORTED segment-sum produces the low-resolution per-slot (z, y, x)
+    sums + counts; the med and top sums derive by reshape-reductions (a med
+    sub-voxel is exactly a 2x2x2 block of low sub-voxels, and the pillar is
+    all of them) — so the reference's three voxelize+unique+scatter passes
+    (``..._ssl.py:173-187``) collapse into one segmented scan.
+    """
+    table = scene.table
     voxel = cfg.voxel
     ny, nx = voxel.grid_size
     v_cap = table.valid.shape[0]
     s_low, s_med = voxel.num_slots_low, voxel.num_slots_med
+    rz, ry, rx = voxel.sub_voxel_ratio_low
+    mz, my, mx = voxel.sub_voxel_ratio_med
     p2v = table.point2voxel
-    zyx = points_xyz[:, ::-1].astype(jnp.float32)
+    zyx = scene.points[:, :3][:, ::-1].astype(jnp.float32)
 
-    slot_low, slot_med = sub_voxel_slots(table.low_coords, voxel)
-    seg_low = p2v * s_low + slot_low
-    seg_med = p2v * s_med + slot_med
-    # route overflow rows (p2v == v_cap) out of range -> trash inside segment_*
+    seg_low = p2v * s_low + scene.slot_low
     seg_low = jnp.where(p2v < v_cap, seg_low, v_cap * s_low)
-    seg_med = jnp.where(p2v < v_cap, seg_med, v_cap * s_med)
+    sums4 = scatter.segment_sum(
+        jnp.concatenate([zyx, jnp.ones_like(zyx[:, :1])], -1),
+        seg_low, v_cap * s_low, scene.valid, sorted_ids=True)
+    sums4 = sums4.reshape(v_cap, s_low, 4)
 
-    c_low, n_low = scatter.segment_mean(zyx, seg_low, v_cap * s_low, point_valid)
-    c_med, n_med = scatter.segment_mean(zyx, seg_med, v_cap * s_med, point_valid)
-    c_top, _ = scatter.segment_mean(zyx, p2v, v_cap, point_valid)
+    # low slot layout is (sz, sy, sx) row-major; med slot = components // 2
+    fz, fy, fx = rz // mz, ry // my, rx // mx
+    med4 = sums4.reshape(v_cap, mz, fz, my, fy, mx, fx, 4).sum((2, 4, 6))
+    med4 = med4.reshape(v_cap, s_med, 4)
+    top4 = sums4.sum(1)
 
-    c_low = c_low.reshape(v_cap, s_low, 3)
-    occ_low = (n_low > 0).reshape(v_cap, s_low)
-    c_med = c_med.reshape(v_cap, s_med, 3)
-    occ_med = (n_med > 0).reshape(v_cap, s_med)
+    def _finish(s4):
+        cnt = s4[..., 3]
+        return s4[..., :3] / jnp.maximum(cnt, 1.0)[..., None], cnt > 0
+
+    c_low, occ_low = _finish(sums4)
+    c_med, occ_med = _finish(med4)
+    c_top, _ = _finish(top4)
 
     # ---- normals & curvature from RAW (unnormalized) med centroids --------
     nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
@@ -148,9 +162,8 @@ def compute_targets(points_xyz: jnp.ndarray, point_valid: jnp.ndarray,
                          centroid_top=c_top, normal=normal, curv=curv)
 
 
-def compute_targets_batch(points_xyz, point_valid, table, cfg):
-    return jax.vmap(lambda p, m, t: compute_targets(p, m, t, cfg))(
-        points_xyz, point_valid, table)
+def compute_targets_batch(scene: Scene, cfg: PretrainConfig):
+    return jax.vmap(lambda s: compute_targets(s, cfg))(scene)
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +216,9 @@ class GeoMAE(nn.Module):
     cfg: PretrainConfig
 
     @nn.compact
-    def __call__(self, points, point_valid, table: VoxelTable,
-                 keep: jnp.ndarray, train: bool = True):
+    def __call__(self, scene: Scene, keep: jnp.ndarray, train: bool = True):
         cfg = self.cfg
+        table = scene.table
         C = cfg.sst.d_model
         dtype = jnp.dtype(cfg.compute_dtype)
         B, V = keep.shape
@@ -213,8 +226,7 @@ class GeoMAE(nn.Module):
         s_low, s_med = cfg.voxel.num_slots_low, cfg.voxel.num_slots_med
 
         voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
-                                        name="voxel_encoder")(
-            points, point_valid, table, train)
+                                        name="voxel_encoder")(scene, train)
 
         # ---- encoder over compacted visible tokens ------------------------
         vis_idx, vis_valid = jax.vmap(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..config import VFEConfig, VoxelConfig
 from ..ops import scatter
-from ..ops.voxelize import VoxelTable
+from ..ops.voxelize import Scene
 from .second import recover_bev  # noqa: F401  (PointPillarsScatter)
 from .norm import MaskedBatchNorm
 from .vfe import _gather_b, _seg_mean_b, _seg_max_b, torch_linear_init
@@ -30,13 +30,13 @@ def hard_simple_vfe(voxels: jnp.ndarray, num_points: jnp.ndarray,
     return s / jnp.maximum(num_points, 1)[..., None].astype(s.dtype)
 
 
-def dynamic_simple_vfe(points: jnp.ndarray, point_valid: jnp.ndarray,
-                       table: VoxelTable, num_features: int = 4):
+def dynamic_simple_vfe(scene: Scene, num_features: int = 4):
     """Per-voxel mean over the dynamic table (``DynamicSimpleVFE``,
-    ``voxel_encoder.py:58-89``).  Batched [B, ...] inputs."""
+    ``voxel_encoder.py:58-89``).  Batched Scene input."""
+    table = scene.table
     v_cap = table.valid.shape[-1]
-    mean = _seg_mean_b(points[..., :num_features], table.point2voxel, v_cap,
-                       point_valid)
+    mean = _seg_mean_b(scene.points[..., :num_features], table.point2voxel,
+                       v_cap, scene.valid)
     return jnp.where(table.valid[..., None], mean, 0.0)
 
 
@@ -52,8 +52,9 @@ class PillarFeatureNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, points, point_valid, table: VoxelTable,
-                 train: bool = True):
+    def __call__(self, scene: Scene, train: bool = True):
+        table = scene.table
+        points, point_valid = scene.points, scene.valid
         v_cap = table.valid.shape[-1]
         p2v = table.point2voxel
         xyz = points[..., :3]

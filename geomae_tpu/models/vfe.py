@@ -13,8 +13,9 @@ with ``DynamicVFELayer`` at ``voxel_encoders/utils.py:107-146``):
   -> segment-max                                    -> voxel feats [V, 128]
 
 The torch_scatter CUDA reduces become masked ``jax.ops.segment_*`` calls
-(``ops/scatter.py``); BN statistics are global over the sharded batch
-(= NaiveSyncBN).  Everything is [B, P]/[B, V] static-shape with masks.
+over the canonical pillar-sorted point order (``ops/voxelize.build_scene``),
+so they lower to segmented scans rather than sort+scatter.  BN statistics
+are global over the sharded batch (= NaiveSyncBN).
 """
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import VFEConfig, VoxelConfig
 from ..ops import scatter
-from ..ops.voxelize import VoxelTable
+from ..ops.voxelize import Scene
 from .norm import MaskedBatchNorm
 
 # torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
@@ -33,13 +34,13 @@ torch_linear_init = nn.initializers.variance_scaling(
 
 
 def _seg_mean_b(data, seg, num, valid):
-    return jax.vmap(lambda d, s, v: scatter.segment_mean(d, s, num, v)[0])(
-        data, seg, valid)
+    return jax.vmap(lambda d, s, v: scatter.segment_mean(
+        d, s, num, v, sorted_ids=True)[0])(data, seg, valid)
 
 
 def _seg_max_b(data, seg, num, valid):
-    return jax.vmap(lambda d, s, v: scatter.segment_max(d, s, num, v))(
-        data, seg, valid)
+    return jax.vmap(lambda d, s, v: scatter.segment_max(
+        d, s, num, v, sorted_ids=True))(data, seg, valid)
 
 
 def _gather_b(table, idx):
@@ -64,10 +65,7 @@ class DynamicVFELayer(nn.Module):
 
 
 class DynamicScatterVFE(nn.Module):
-    """Args to ``__call__``:
-      points: [B, P, in_channels] — x, y, z first.
-      point_valid: [B, P] bool.
-      table: VoxelTable (batched).
+    """Args to ``__call__``: a batched :class:`Scene` (points sorted).
     Returns voxel features [B, V, feat_channels[-1]] (0 where invalid).
     """
 
@@ -76,8 +74,9 @@ class DynamicScatterVFE(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, point_valid: jnp.ndarray,
-                 table: VoxelTable, train: bool = True) -> jnp.ndarray:
+    def __call__(self, scene: Scene, train: bool = True) -> jnp.ndarray:
+        table = scene.table
+        points, point_valid = scene.points, scene.valid
         v_cap = table.valid.shape[-1]
         p2v = table.point2voxel
         xyz = points[..., :3]

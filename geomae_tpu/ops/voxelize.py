@@ -1,24 +1,29 @@
-"""Fixed-capacity dynamic voxelization.
+"""Fixed-capacity dynamic voxelization via one canonical sort.
 
 TPU-native replacement for the reference CUDA voxel layer
 (``/root/reference/mmdet3d/ops/voxel/src/voxelization_cuda.cu`` via
 ``mmdet3d/ops/voxel/voxelize.py:40-43``) and the unique+scatter pillar table
 construction of ``scatter_v2`` (``mmdet3d/ops/sst/sst_ops.py:8-39``).
 
-Design (all static shapes):
+Performance-critical design: XLA lowers every *unsorted* ``segment_sum`` on
+TPU to an internal sort, so this module sorts the points ONCE by
+``pillar_key * num_slots_low + slot_low`` and returns the whole scene in
+that order.  Afterwards
 
-* Points are ``[P, 3]`` (+mask).  Coordinates are floored once at the finest
-  (sub-voxel "low") resolution; pillar / med coords derive by integer
-  division — self-consistent at fp boundaries, unlike the reference which
-  floors each resolution independently (SURVEY.md §8.1).
-* The pillar table is built by a single sort of the per-point linear cell
-  keys: first-occurrence flags -> prefix-sum ranks -> fixed ``v_cap`` rows,
-  canonically ordered by ascending (y, x) key.  The reference instead uses
-  unordered ``torch.unique`` (row order implementation-defined, SURVEY.md
-  §8.2).
-* Out-of-range points are CLAMPED to the grid border, matching this fork's
-  kernels (``voxelization_cpu.cpp:22-31``) — though the host pipeline range-
-  filters first, so this only matters at fp boundary cases.
+* per-point pillar ids are ascending -> every downstream segment reduction
+  (VFE means/maxes, sub-voxel centroid sums) runs with
+  ``indices_are_sorted=True`` (a fast segmented scan, no sort);
+* low-resolution sub-voxel slots are contiguous within a pillar, and the
+  med/top centroid sums derive from the low sums by pure reshape-reductions
+  (the med slot coordinates are the low ones //2).
+
+Coordinates are floored once at the finest ("low") resolution and coarser
+levels derive by integer division — self-consistent at fp boundaries,
+unlike the reference which floors each resolution independently
+(SURVEY.md §8.1).  Out-of-range points are CLAMPED to the grid border,
+matching this fork's kernels (``voxelization_cpu.cpp:22-31``).  Pillar rows
+are canonically ordered by ascending (y, x); the reference's row order is
+implementation-defined (``torch.unique(sorted=False)``, SURVEY.md §8.2).
 
 Everything is per-sample; batch via ``jax.vmap``.
 """
@@ -41,18 +46,35 @@ class VoxelTable(NamedTuple):
       coords:      int32 [V, 2] — (y, x) pillar coords; 0 where invalid.
       valid:       bool  [V] — row holds a real pillar.
       num_voxels:  int32 [] — number of real pillars (may exceed V if
-                   capacity overflowed; excess points are dropped).
-      point2voxel: int32 [P] — row index per point; == V for points that are
-                   invalid or whose pillar overflowed capacity.
-      low_coords:  int32 [P, 3] — per-point (z, y, x) at the finest
-                   sub-voxel resolution (already clamped to the grid).
+                   capacity overflowed; excess pillars' points are dropped).
+      point2voxel: int32 [P] — ASCENDING row index per (sorted) point; == V
+                   for invalid points / overflowed pillars (always a suffix).
     """
 
     coords: jnp.ndarray
     valid: jnp.ndarray
     num_voxels: jnp.ndarray
     point2voxel: jnp.ndarray
-    low_coords: jnp.ndarray
+
+
+class Scene(NamedTuple):
+    """A sample's points in canonical (pillar, low-slot) sorted order.
+
+    Attributes:
+      points:   [P, D] — original point features, reordered.
+      valid:    bool [P] — real points (a prefix in sorted order).
+      table:    VoxelTable.
+      slot_low: int32 [P] — sub-voxel slot within the pillar at the low
+                resolution, ``(z%rz)*ry*rx + (y%ry)*rx + (x%rx)``
+                (reference target-layout hash, ``..._ssl.py:699-716``).
+      slot_med: int32 [P] — same at the med resolution.
+    """
+
+    points: jnp.ndarray
+    valid: jnp.ndarray
+    table: VoxelTable
+    slot_low: jnp.ndarray
+    slot_med: jnp.ndarray
 
 
 def low_voxel_coords(points_xyz: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
@@ -65,118 +87,102 @@ def low_voxel_coords(points_xyz: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
     origin = jnp.array([r[2], r[1], r[0]], dtype=jnp.float32)
     zyx = points_xyz[:, ::-1].astype(jnp.float32)
     c = jnp.floor((zyx - origin) / sizes).astype(jnp.int32)
-    # clamp to grid (reference fork clamps rather than drops)
     hi = jnp.array([1 * rz - 1, ny * ry - 1, nx * rx - 1], dtype=jnp.int32)
     return jnp.clip(c, 0, hi)
 
 
-def voxelize(points_xyz: jnp.ndarray, point_valid: jnp.ndarray,
-             cfg: VoxelConfig, v_cap: int) -> VoxelTable:
-    """Build the pillar table for one sample.
-
-    Args:
-      points_xyz: [P, 3] float — x, y, z in meters (range-filtered, padded).
-      point_valid: [P] bool.
-      v_cap: static pillar capacity.
-    """
-    ny, nx = cfg.grid_size
-    rz, ry, rx = cfg.sub_voxel_ratio_low
-    low = low_voxel_coords(points_xyz, cfg)          # [P, 3] (z, y, x)
-    py = low[:, 1] // ry
-    px = low[:, 2] // rx
-    key = py * nx + px                               # [0, ny*nx)
-    key = jnp.where(point_valid, key, INT32_MAX)
-
-    order = jnp.argsort(key)                         # invalid sort last
-    sk = key[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (sk != INT32_MAX)
-    rank = jnp.cumsum(first.astype(jnp.int32)) - 1   # voxel row per sorted pos
-    num_voxels = first.sum().astype(jnp.int32)
-
-    # rank may exceed capacity -> trash
-    in_cap = (rank >= 0) & (rank < v_cap) & (sk != INT32_MAX)
-    rank_safe = jnp.where(in_cap, rank, v_cap)
-
-    # voxel row -> key (canonical ascending order); scatter first occurrences
-    row_keys = jnp.full((v_cap + 1,), INT32_MAX, jnp.int32)
-    row_keys = row_keys.at[jnp.where(first & in_cap, rank_safe, v_cap)].set(
-        sk, mode="drop")
-    row_keys = row_keys[:v_cap]
-    valid = row_keys != INT32_MAX
-    safe_keys = jnp.where(valid, row_keys, 0)
-    coords = jnp.stack([safe_keys // nx, safe_keys % nx], axis=-1)
-
-    # per-point voxel row in original point order
-    p2v = jnp.zeros(key.shape, jnp.int32).at[order].set(rank_safe)
-
-    return VoxelTable(coords=coords, valid=valid, num_voxels=num_voxels,
-                      point2voxel=p2v, low_coords=low)
-
-
-def voxelize_batch(points_xyz: jnp.ndarray, point_valid: jnp.ndarray,
-                   cfg: VoxelConfig, v_cap: int) -> VoxelTable:
-    """Batched voxelization: [B, P, 3] -> VoxelTable with leading B dim."""
-    return jax.vmap(lambda p, m: voxelize(p, m, cfg, v_cap))(
-        points_xyz, point_valid)
-
-
 def sub_voxel_slots(low_coords: jnp.ndarray, cfg: VoxelConfig):
-    """Per-point sub-voxel slot indices inside the owning pillar.
-
-    Returns ``(slot_low, slot_med)`` int32 [P] with
-    ``slot = (z % rz) * ry * rx + (y % ry) * rx + (x % rx)`` exactly like the
-    reference's target layout hash (``..._ssl.py:699-716``), except coords at
-    the med level derive from the low level by //2 (ratios are (8,4,4) vs
-    (4,2,2), an exact factor of 2 in each axis).
-    """
+    """(slot_low, slot_med) int32 [P] from low-resolution integer coords."""
     lz, ly, lx = low_coords[:, 0], low_coords[:, 1], low_coords[:, 2]
     rz, ry, rx = cfg.sub_voxel_ratio_low
     mz, my, mx = cfg.sub_voxel_ratio_med
     slot_low = (lz % rz) * (ry * rx) + (ly % ry) * rx + (lx % rx)
-    # med integer coords = low // (rz/mz, ry/my, rx/mx)
     fz, fy, fx = rz // mz, ry // my, rx // mx
     cz, cy, cx = lz // fz, ly // fy, lx // fx
     slot_med = (cz % mz) * (my * mx) + (cy % my) * mx + (cx % mx)
     return slot_low.astype(jnp.int32), slot_med.astype(jnp.int32)
 
 
-def hard_voxelize(points: jnp.ndarray, point_valid: jnp.ndarray,
-                  table: VoxelTable, max_points: int):
-    """Gather points into a dense per-voxel buffer (hard voxelization).
+def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
+                cfg: VoxelConfig, v_cap: int) -> Scene:
+    """Sort points into canonical order and build the pillar table.
+
+    Args:
+      points: [P, D] float — x, y, z first (range-filtered, padded).
+      point_valid: [P] bool.
+      v_cap: static pillar capacity.
+    """
+    ny, nx = cfg.grid_size
+    rz, ry, rx = cfg.sub_voxel_ratio_low
+    s_low = rz * ry * rx
+    low = low_voxel_coords(points[:, :3], cfg)
+    py = low[:, 1] // ry
+    px = low[:, 2] // rx
+    slot_low, slot_med = sub_voxel_slots(low, cfg)
+    pillar_key = py * nx + px
+    key = pillar_key * s_low + slot_low
+    key = jnp.where(point_valid, key, INT32_MAX)
+
+    order = jnp.argsort(key)                      # THE one sort
+    key_s = key[order]
+    valid_s = key_s != INT32_MAX
+    pk_s = jnp.where(valid_s, key_s // s_low, INT32_MAX)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), pk_s[1:] != pk_s[:-1]]) & valid_s
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_voxels = first.sum().astype(jnp.int32)
+    in_cap = valid_s & (rank >= 0) & (rank < v_cap)
+    p2v = jnp.where(in_cap, rank, v_cap)
+
+    row_keys = jnp.full((v_cap + 1,), INT32_MAX, jnp.int32)
+    row_keys = row_keys.at[jnp.where(first & in_cap, p2v, v_cap)].set(
+        pk_s, mode="drop")
+    row_keys = row_keys[:v_cap]
+    tvalid = row_keys != INT32_MAX
+    safe = jnp.where(tvalid, row_keys, 0)
+    coords = jnp.stack([safe // nx, safe % nx], axis=-1)
+
+    table = VoxelTable(coords=coords, valid=tvalid, num_voxels=num_voxels,
+                       point2voxel=p2v)
+    return Scene(points=points[order], valid=point_valid[order] & valid_s,
+                 table=table, slot_low=slot_low[order],
+                 slot_med=slot_med[order])
+
+
+def build_scene_batch(points: jnp.ndarray, point_valid: jnp.ndarray,
+                      cfg: VoxelConfig, v_cap: int) -> Scene:
+    """[B, P, D] -> Scene with leading batch dim."""
+    return jax.vmap(lambda p, m: build_scene(p, m, cfg, v_cap))(
+        points, point_valid)
+
+
+def hard_voxelize(scene: Scene, max_points: int):
+    """Dense per-voxel point buffers from a sorted scene.
 
     Replaces the CUDA ``hard_voxelize`` (``mmdet3d/ops/voxel/src/
-    voxelization.h:7-136``) given an existing :class:`VoxelTable`: each
-    voxel keeps its first ``max_points`` points (by sorted order —
-    point order is shuffled upstream, matching the reference's arbitrary
-    intra-voxel order).
+    voxelization.h:7-136``).  Because points are pillar-sorted, the rank of
+    a point within its voxel is position - segment start (no extra sort).
 
-    Returns:
-      voxels: [V, max_points, D] (zeros padded),
-      num_points: int32 [V] (clamped to max_points).
+    Returns (voxels [V, max_points, D] zero-padded, num_points int32 [V]).
     """
-    P, D = points.shape
-    v_cap = table.valid.shape[0]
-    p2v = table.point2voxel
-    # rank of each point within its voxel: order by (voxel, position)
-    key = jnp.where(point_valid, p2v, v_cap)
-    order = jnp.argsort(key, stable=True)
-    sk = key[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    P, D = scene.points.shape
+    v_cap = scene.table.valid.shape[0]
+    p2v = scene.table.point2voxel
     pos = jnp.arange(P, dtype=jnp.int32)
-    seg_start = jnp.where(first, pos, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
-    rank_sorted = pos - seg_start
-    rank = jnp.zeros(P, jnp.int32).at[order].set(rank_sorted)
+    first = jnp.concatenate([jnp.ones((1,), bool), p2v[1:] != p2v[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0))
+    rank = pos - seg_start
 
-    ok = point_valid & (p2v < v_cap) & (rank < max_points)
+    ok = scene.valid & (p2v < v_cap) & (rank < max_points)
     slot = jnp.where(ok, p2v * max_points + rank, v_cap * max_points)
-    voxels = jnp.zeros((v_cap * max_points + 1, D), points.dtype)
-    voxels = voxels.at[slot].set(points, mode="drop")
+    voxels = jnp.zeros((v_cap * max_points + 1, D), scene.points.dtype)
+    voxels = voxels.at[slot].set(scene.points, mode="drop")
     voxels = voxels[:-1].reshape(v_cap, max_points, D)
     counts = jax.ops.segment_sum(
         ok.astype(jnp.int32), jnp.where(ok, p2v, v_cap),
-        num_segments=v_cap + 1)[:v_cap]
+        num_segments=v_cap + 1, indices_are_sorted=True)[:v_cap]
     return voxels, jnp.minimum(counts, max_points)
 
 

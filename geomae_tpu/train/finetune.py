@@ -17,7 +17,7 @@ import numpy as np
 from ..config import FinetuneConfig
 from ..models.anchor_head import head_loss, predict
 from ..models.anchors import grid_anchors
-from ..models.detector import DynamicVoxelNet, extract_table
+from ..models.detector import DynamicVoxelNet, extract_scene
 from .optim import make_optimizer
 from .state import TrainState
 
@@ -53,9 +53,9 @@ def init_state(cfg: FinetuneConfig, batch_size: int, rng: jax.Array,
                pretrain_params=None) -> Tuple[TrainState, object]:
     model = DynamicVoxelNet(cfg)
     batch = dummy_batch(cfg, batch_size)
-    table = extract_table(cfg, batch["points"], batch["point_valid"])
+    scene = extract_scene(cfg, batch["points"], batch["point_valid"])
     variables = jax.jit(functools.partial(model.init, train=False))(
-        rng, batch["points"], batch["point_valid"], table)
+        rng, scene)
     params = variables["params"]
     if pretrain_params is not None:
         params = load_pretrained(params, pretrain_params)
@@ -85,11 +85,10 @@ def make_train_step(cfg: FinetuneConfig, tx):
     anchors = jnp.asarray(grid_anchors(cfg.head, head_featmap_size(cfg)))
 
     def loss_fn(params, batch_stats, batch):
-        table = extract_table(cfg, batch["points"], batch["point_valid"])
+        scene = extract_scene(cfg, batch["points"], batch["point_valid"])
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["points"], batch["point_valid"], table, train=True,
-            mutable=["batch_stats"])
+            scene, train=True, mutable=["batch_stats"])
         losses = head_loss(out, anchors, batch["gt_boxes"],
                            batch["gt_labels"], batch["gt_mask"], cfg.head)
         losses["loss"] = sum(losses.values())
@@ -110,10 +109,10 @@ def make_predict_fn(cfg: FinetuneConfig):
     anchors = jnp.asarray(grid_anchors(cfg.head, head_featmap_size(cfg)))
 
     def predict_fn(state: TrainState, batch):
-        table = extract_table(cfg, batch["points"], batch["point_valid"])
+        scene = extract_scene(cfg, batch["points"], batch["point_valid"])
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["points"], batch["point_valid"], table, train=False)
+            scene, train=False)
         return predict(out, anchors, cfg.head)
 
     return predict_fn

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..config import PretrainConfig
 from ..models.mae import (GeoMAE, compute_targets_batch, pretrain_loss,
                           sample_mask)
-from ..ops.voxelize import voxelize_batch
+from ..ops.voxelize import build_scene_batch
 from .optim import make_optimizer
 from .state import TrainState
 
@@ -43,23 +43,20 @@ def dummy_batch(cfg: PretrainConfig, batch_size: int, seed: int = 0) -> Dict:
 def forward(cfg: PretrainConfig, variables, batch, rng, train: bool):
     """Voxelize -> targets -> mask -> model.  Returns (losses, new_stats)."""
     model = build_model(cfg)
-    points, point_valid = batch["points"], batch["point_valid"]
-    table = voxelize_batch(points[..., :3], point_valid, cfg.voxel,
-                           cfg.caps.max_voxels)
+    scene = build_scene_batch(batch["points"], batch["point_valid"],
+                              cfg.voxel, cfg.caps.max_voxels)
     targets = jax.tree_util.tree_map(
-        jax.lax.stop_gradient,
-        compute_targets_batch(points[..., :3], point_valid, table, cfg))
-    keep = sample_mask(rng, table.valid, cfg.mae.random_mask_ratio)
+        jax.lax.stop_gradient, compute_targets_batch(scene, cfg))
+    keep = sample_mask(rng, scene.table.valid, cfg.mae.random_mask_ratio)
 
     if train:
-        preds, mut = model.apply(variables, points, point_valid, table, keep,
+        preds, mut = model.apply(variables, scene, keep,
                                  train=True, mutable=["batch_stats"])
         new_stats = mut["batch_stats"]
     else:
-        preds = model.apply(variables, points, point_valid, table, keep,
-                            train=False)
+        preds = model.apply(variables, scene, keep, train=False)
         new_stats = variables["batch_stats"]
-    losses = pretrain_loss(preds, targets, table.valid, keep, cfg)
+    losses = pretrain_loss(preds, targets, scene.table.valid, keep, cfg)
     return losses, new_stats
 
 
@@ -67,13 +64,12 @@ def init_state(cfg: PretrainConfig, batch_size: int,
                rng: jax.Array) -> Tuple[TrainState, object]:
     model = build_model(cfg)
     batch = dummy_batch(cfg, batch_size)
-    table = voxelize_batch(batch["points"][..., :3], batch["point_valid"],
-                           cfg.voxel, cfg.caps.max_voxels)
+    scene = build_scene_batch(batch["points"], batch["point_valid"],
+                              cfg.voxel, cfg.caps.max_voxels)
     k_init, k_mask = jax.random.split(rng)
-    keep = sample_mask(k_mask, table.valid, cfg.mae.random_mask_ratio)
+    keep = sample_mask(k_mask, scene.table.valid, cfg.mae.random_mask_ratio)
     init_fn = jax.jit(functools.partial(model.init, train=False))
-    variables = init_fn(k_init, batch["points"], batch["point_valid"],
-                        table, keep)
+    variables = init_fn(k_init, scene, keep)
     tx = make_optimizer(cfg.optim)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],

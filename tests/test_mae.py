@@ -6,7 +6,7 @@ import pytest
 
 from geomae_tpu.config import tiny_pretrain_config
 from geomae_tpu.models import mae
-from geomae_tpu.ops.voxelize import voxelize_batch
+from geomae_tpu.ops.voxelize import build_scene_batch
 from geomae_tpu.train.pretrain import dummy_batch, forward, init_state
 
 
@@ -18,17 +18,17 @@ def cfg():
 @pytest.fixture(scope="module")
 def setup(cfg):
     batch = dummy_batch(cfg, batch_size=2, seed=3)
-    table = voxelize_batch(batch["points"][..., :3], batch["point_valid"],
-                           cfg.voxel, cfg.caps.max_voxels)
-    return batch, table
+    scene = build_scene_batch(batch["points"], batch["point_valid"],
+                              cfg.voxel, cfg.caps.max_voxels)
+    return batch, scene
 
 
 def test_sample_mask_ratio(cfg, setup):
-    _, table = setup
-    keep = mae.sample_mask(jax.random.PRNGKey(0), table.valid,
+    _, scene = setup
+    keep = mae.sample_mask(jax.random.PRNGKey(0), scene.table.valid,
                            cfg.mae.random_mask_ratio)
     keep = np.asarray(keep)
-    valid = np.asarray(table.valid)
+    valid = np.asarray(scene.table.valid)
     assert not np.any(keep & ~valid)
     for b in range(keep.shape[0]):
         L = valid[b].sum()
@@ -37,28 +37,29 @@ def test_sample_mask_ratio(cfg, setup):
 
 
 def test_targets_centroid_oracle(cfg, setup):
-    """Low-centroid targets match a numpy per-slot mean in local frames."""
-    batch, table = setup
-    tg = mae.compute_targets_batch(batch["points"][..., :3],
-                                   batch["point_valid"], table, cfg)
+    """Low/med/top centroid targets match per-slot means in local frames."""
+    _, scene = setup
+    tg = mae.compute_targets_batch(scene, cfg)
     b = 0
-    pts = np.asarray(batch["points"])[b, :, :3]
-    pv = np.asarray(batch["point_valid"])[b]
-    p2v = np.asarray(table.point2voxel)[b]
-    low = np.asarray(table.low_coords)[b]
-    coords = np.asarray(table.coords)[b]
+    pts = np.asarray(scene.points)[b, :, :3]
+    pv = np.asarray(scene.valid)[b]
+    p2v = np.asarray(scene.table.point2voxel)[b]
+    sl = np.asarray(scene.slot_low)[b]
+    sm = np.asarray(scene.slot_med)[b]
+    coords = np.asarray(scene.table.coords)[b]
     voxel = cfg.voxel
     rz, ry, rx = voxel.sub_voxel_ratio_low
+    mzr, myr, mxr = voxel.sub_voxel_ratio_med
     vx, vy, vz = voxel.voxel_size
     r = voxel.point_cloud_range
     V = coords.shape[0]
-    s_low = voxel.num_slots_low
 
     got_c = np.asarray(tg.centroid_low)[b]
     got_o = np.asarray(tg.occ_low)[b]
+    got_cm = np.asarray(tg.centroid_med)[b]
+    got_om = np.asarray(tg.occ_med)[b]
+    got_ct = np.asarray(tg.centroid_top)[b]
 
-    # build oracle on a few random slots
-    sl = (low[:, 0] % rz) * (ry * rx) + (low[:, 1] % ry) * rx + (low[:, 2] % rx)
     rs = np.random.default_rng(0)
     checked = 0
     for i in rs.choice(len(pts), 400, replace=False):
@@ -68,7 +69,6 @@ def test_targets_centroid_oracle(cfg, setup):
         sel = pv & (p2v == v) & (sl == s)
         assert got_o[v, s]
         cent = pts[sel][:, ::-1].mean(0)  # (z, y, x)
-        # local frame: (c - (coor*size + origin)) / size
         size = np.array([vz / rz, vy / ry, vx / rx])
         origin = np.array([r[2], r[1], r[0]])
         coor = np.array([s // (ry * rx),
@@ -77,25 +77,44 @@ def test_targets_centroid_oracle(cfg, setup):
         want = (cent - (coor * size + origin)) / size
         np.testing.assert_allclose(got_c[v, s], want, rtol=1e-4, atol=1e-4)
         assert np.all(want >= -1e-3) and np.all(want <= 1 + 1e-3)
+
+        # med slot of the same point
+        m = sm[i]
+        selm = pv & (p2v == v) & (sm == m)
+        assert got_om[v, m]
+        centm = pts[selm][:, ::-1].mean(0)
+        sizem = np.array([vz / mzr, vy / myr, vx / mxr])
+        coorm = np.array([m // (myr * mxr),
+                          coords[v, 0] * myr + (m // mxr) % myr,
+                          coords[v, 1] * mxr + m % mxr])
+        wantm = (centm - (coorm * sizem + origin)) / sizem
+        np.testing.assert_allclose(got_cm[v, m], wantm, rtol=1e-4, atol=1e-4)
+
+        # top centroid
+        selt = pv & (p2v == v)
+        centt = pts[selt][:, ::-1].mean(0)
+        sizet = np.array([vz, vy, vx])
+        coort = np.array([0, coords[v, 0], coords[v, 1]])
+        wantt = (centt - (coort * sizet + origin)) / sizet
+        np.testing.assert_allclose(got_ct[v], wantt, rtol=1e-4, atol=1e-4)
         checked += 1
     assert checked > 50
 
 
 def test_targets_normal_planar(cfg):
-    """Points on a tilted plane -> normals along the plane normal."""
+    """Points on a flat plane -> normals along z."""
     P = cfg.caps.max_points
     rng = np.random.default_rng(1)
     r = cfg.voxel.point_cloud_range
     xy = rng.uniform(r[0] + 1, r[3] - 1, (P, 2)).astype(np.float32)
-    z = (0.2 * xy[:, 0] + 0.1 * xy[:, 1]) * 0.0 - 1.0   # flat plane z=-1
+    z = np.full(P, -1.0, np.float32)
     pts = np.stack([xy[:, 0], xy[:, 1], z], -1)[None]
     valid = np.ones((1, P), bool)
-    table = voxelize_batch(jnp.asarray(pts), jnp.asarray(valid),
-                           cfg.voxel, cfg.caps.max_voxels)
-    tg = mae.compute_targets_batch(jnp.asarray(pts), jnp.asarray(valid),
-                                   table, cfg)
+    scene = build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
+                              cfg.voxel, cfg.caps.max_voxels)
+    tg = mae.compute_targets_batch(scene, cfg)
     nrm = np.asarray(tg.normal)[0]
-    v = np.asarray(table.valid)[0]
+    v = np.asarray(scene.table.valid)[0]
     # normal of a flat z-plane in (z, y, x) coords is (1, 0, 0)
     cos = np.abs(nrm[v, 0])
     assert np.mean(cos > 0.99) > 0.95

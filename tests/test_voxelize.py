@@ -23,8 +23,7 @@ def random_points(rng, n, cfg):
                    [r[3] - 1e-3, r[4] - 1e-3, r[5] - 1e-3])
 
 
-def np_pillars(pts, valid, cfg):
-    """Brute-force pillar assignment through the low grid (oracle)."""
+def np_low_coords(pts, cfg):
     r = cfg.point_cloud_range
     ny, nx = cfg.grid_size
     rz, ry, rx = cfg.sub_voxel_ratio_low
@@ -32,75 +31,86 @@ def np_pillars(pts, valid, cfg):
                       cfg.voxel_size[0] / rx])
     origin = np.array([r[2], r[1], r[0]])
     low = np.floor((pts[:, ::-1] - origin) / sizes).astype(np.int64)
-    low = np.clip(low, 0, [rz - 1, ny * ry - 1, nx * rx - 1])
-    py, px = low[:, 1] // ry, low[:, 2] // rx
-    keys = sorted(set((int(a), int(b)) for a, b, v in zip(py, px, valid) if v))
-    return keys, py, px, low
+    return np.clip(low, 0, [rz - 1, ny * ry - 1, nx * rx - 1])
 
 
-def test_voxelize_matches_bruteforce(rng):
+def test_build_scene_matches_bruteforce(rng):
     cfg = tiny_cfg()
     P, V = 512, 1664  # capacity > 40*40 grid cells, so nothing overflows
-    pts = random_points(rng, P, cfg)
+    pts3 = random_points(rng, P, cfg)
+    pts = np.concatenate([pts3, rng.random((P, 2)).astype(np.float32)], -1)
     valid = rng.random(P) > 0.1
-    t = vox.voxelize(jnp.asarray(pts), jnp.asarray(valid), cfg, V)
+    sc = vox.build_scene(jnp.asarray(pts), jnp.asarray(valid), cfg, V)
 
-    keys, py, px, low = np_pillars(pts, valid, cfg)
-    n = int(t.num_voxels)
+    low = np_low_coords(pts3, cfg)
+    rz, ry, rx = cfg.sub_voxel_ratio_low
+    py, px = low[:, 1] // ry, low[:, 2] // rx
+    keys = sorted(set((int(a), int(b)) for a, b, v in zip(py, px, valid)
+                      if v))
+    n = int(sc.table.num_voxels)
     assert n == len(keys)
-    got = [tuple(map(int, c)) for c in np.asarray(t.coords)[:n]]
+    got = [tuple(map(int, c)) for c in np.asarray(sc.table.coords)[:n]]
     assert got == keys                      # canonical ascending order
-    assert bool(np.all(np.asarray(t.valid)[:n]))
-    assert not np.any(np.asarray(t.valid)[n:])
-    # per-point mapping: row's coords match the point's pillar
-    p2v = np.asarray(t.point2voxel)
-    coords = np.asarray(t.coords)
-    for i in range(P):
-        if valid[i]:
-            assert p2v[i] < V
-            assert coords[p2v[i], 0] == py[i] and coords[p2v[i], 1] == px[i]
-        else:
-            assert p2v[i] == V
-    np.testing.assert_array_equal(np.asarray(t.low_coords), low)
+    assert bool(np.all(np.asarray(sc.table.valid)[:n]))
+    assert not np.any(np.asarray(sc.table.valid)[n:])
+
+    # the scene is a permutation of the valid points + padding
+    spts = np.asarray(sc.points)
+    sval = np.asarray(sc.valid)
+    assert sval.sum() == valid.sum()
+    orig = {tuple(row) for row in pts[valid]}
+    assert {tuple(row) for row in spts[sval]} == orig
+
+    # p2v ascending, rows consistent with each point's pillar
+    p2v = np.asarray(sc.table.point2voxel)
+    assert np.all(np.diff(p2v) >= 0)
+    coords = np.asarray(sc.table.coords)
+    slow = np_low_coords(spts[:, :3], cfg)
+    for i in np.where(sval)[0]:
+        v = p2v[i]
+        assert v < V
+        assert coords[v, 0] == slow[i, 1] // ry
+        assert coords[v, 1] == slow[i, 2] // rx
+    assert np.all(p2v[~sval] == V)
+
+    # slots match the reference layout hash
+    mz, my, mx = cfg.sub_voxel_ratio_med
+    want_sl = ((slow[:, 0] % rz) * (ry * rx) + (slow[:, 1] % ry) * rx
+               + (slow[:, 2] % rx))
+    np.testing.assert_array_equal(np.asarray(sc.slot_low)[sval],
+                                  want_sl[sval])
+    cz, cy, cx = slow[:, 0] // 2, slow[:, 1] // 2, slow[:, 2] // 2
+    want_sm = (cz % mz) * (my * mx) + (cy % my) * mx + (cx % mx)
+    np.testing.assert_array_equal(np.asarray(sc.slot_med)[sval],
+                                  want_sm[sval])
+
+    # within a pillar, slot_low ascending (sorted by pillar+slot key)
+    for v in range(n):
+        s = np.asarray(sc.slot_low)[(p2v == v) & sval]
+        assert np.all(np.diff(s) >= 0)
 
 
-def test_voxelize_capacity_overflow(rng):
+def test_capacity_overflow(rng):
     cfg = tiny_cfg()
     P = 512
-    pts = random_points(rng, P, cfg)
-    valid = np.ones(P, bool)
-    v_cap = 8  # force overflow
-    t = vox.voxelize(jnp.asarray(pts), jnp.asarray(valid), cfg, v_cap)
-    p2v = np.asarray(t.point2voxel)
-    assert np.asarray(t.valid).sum() == v_cap
-    # overflowed points route to trash
-    assert np.all((p2v <= v_cap)) and np.any(p2v == v_cap)
-
-
-def test_sub_voxel_slots_in_range(rng):
-    cfg = tiny_cfg()
-    pts = random_points(rng, 256, cfg)
-    t = vox.voxelize(jnp.asarray(pts), jnp.ones(256, bool), cfg, 128)
-    sl, sm = vox.sub_voxel_slots(t.low_coords, cfg)
-    assert int(jnp.max(sl)) < cfg.num_slots_low and int(jnp.min(sl)) >= 0
-    assert int(jnp.max(sm)) < cfg.num_slots_med and int(jnp.min(sm)) >= 0
-    # consistency: low slot and med slot agree on which med cell a low
-    # sub-voxel falls into (factor-2 subdivision in every axis)
-    rz, ry, rx = cfg.sub_voxel_ratio_low
-    mz, my, mx = cfg.sub_voxel_ratio_med
-    sl_np, sm_np = np.asarray(sl), np.asarray(sm)
-    z, rem = sl_np // (ry * rx), sl_np % (ry * rx)
-    y, x = rem // rx, rem % rx
-    med = (z // 2) * (my * mx) + (y // 2) * mx + (x // 2)
-    np.testing.assert_array_equal(med, sm_np)
+    pts = np.concatenate([random_points(rng, P, cfg),
+                          np.zeros((P, 2), np.float32)], -1)
+    v_cap = 8
+    sc = vox.build_scene(jnp.asarray(pts), jnp.ones(P, bool), cfg, v_cap)
+    p2v = np.asarray(sc.table.point2voxel)
+    assert np.asarray(sc.table.valid).sum() == v_cap
+    assert np.all(p2v <= v_cap) and np.any(p2v == v_cap)
+    assert np.all(np.diff(p2v) >= 0)
 
 
 def test_neighbor_rows(rng):
     cfg = tiny_cfg()
     ny, nx = cfg.grid_size
-    pts = random_points(rng, 400, cfg)
-    V = 256
-    t = vox.voxelize(jnp.asarray(pts), jnp.ones(400, bool), cfg, V)
+    pts = np.concatenate([random_points(rng, 400, cfg),
+                          np.zeros((400, 2), np.float32)], -1)
+    V = 512
+    sc = vox.build_scene(jnp.asarray(pts), jnp.ones(400, bool), cfg, V)
+    t = sc.table
     nbr = np.asarray(vox.neighbor_rows(t.coords, t.valid, ny, nx, V))
     coords = np.asarray(t.coords)
     valid = np.asarray(t.valid)
@@ -118,5 +128,4 @@ def test_neighbor_rows(rng):
                     want = V
                 assert nbr[i, k] == want
             k += 1
-    # center tap is self
     assert np.all(nbr[valid, 4] == np.arange(V)[valid])

@@ -21,7 +21,7 @@ import numpy as np  # noqa: E402
 from bench import realistic_batch  # noqa: E402
 from geomae_tpu.config import CapsConfig, geomae_pretrain_nus, replace  # noqa: E402
 from geomae_tpu.models.mae import GeoMAE, compute_targets_batch, sample_mask  # noqa: E402
-from geomae_tpu.ops.voxelize import voxelize_batch  # noqa: E402
+from geomae_tpu.ops.voxelize import build_scene_batch  # noqa: E402
 from geomae_tpu.train.pretrain import forward, init_state  # noqa: E402
 
 
@@ -48,17 +48,18 @@ def main():
         print(f"{name:26s} {dt * 1000:8.1f} ms", flush=True)
 
     eps = 1e-5
-    bench("voxelize", lambda i: voxelize_batch(
-        pts[..., :3] + i * eps, pv, cfg.voxel, cfg.caps.max_voxels))
-    tab = voxelize_batch(pts[..., :3], pv, cfg.voxel, cfg.caps.max_voxels)
+    bench("voxelize", lambda i: build_scene_batch(
+        pts + i * eps, pv, cfg.voxel, cfg.caps.max_voxels))
+    scene = build_scene_batch(pts, pv, cfg.voxel, cfg.caps.max_voxels)
     bench("targets", lambda i: compute_targets_batch(
-        pts[..., :3] + i * eps, pv, tab, cfg))
-    keep = sample_mask(jax.random.PRNGKey(0), tab.valid, 0.7)
+        scene._replace(points=scene.points + i * eps), cfg))
+    keep = sample_mask(jax.random.PRNGKey(0), scene.table.valid, 0.7)
     state, _ = init_state(cfg, B, jax.random.PRNGKey(0))
     model = GeoMAE(cfg)
     vars_ = {"params": state.params, "batch_stats": state.batch_stats}
     bench("model fwd (eval)", lambda i: model.apply(
-        vars_, pts + i * eps, pv, tab, keep, train=False))
+        vars_, scene._replace(points=scene.points + i * eps), keep,
+        train=False))
 
     def lf(p, i):
         losses, _ = forward(
