@@ -156,7 +156,7 @@ class FPNConfig:
 
     in_channels: Tuple[int, ...] = (128, 128, 256)
     out_channels: Tuple[int, ...] = (128, 128, 128)
-    upsample_strides: Tuple[int, ...] = (1, 2, 4)
+    upsample_strides: Tuple[float, ...] = (1, 2, 4)   # <1 = strided conv down
     bn_eps: float = 1e-3
     bn_momentum: float = 0.01
 
@@ -209,6 +209,44 @@ class AnchorHeadConfig:
     nms_thr: float = 0.2
     score_thr: float = 0.05
     max_num: int = 500
+
+
+@dataclass(frozen=True)
+class CenterHeadConfig:
+    """CenterHead (CenterPoint) for nuScenes
+    (``configs/_base_/models/sst_base_nus_centerhead.py`` +
+    ``configs/pre_sst/m_sst_nus_centerhead_second_35_...py:126-145``)."""
+
+    in_channels: int = 512
+    share_conv_channel: int = 64
+    tasks: Tuple[Tuple[str, ...], ...] = (
+        ("car",), ("truck", "construction_vehicle"), ("bus", "trailer"),
+        ("barrier",), ("motorcycle", "bicycle"),
+        ("pedestrian", "traffic_cone"))
+    common_heads: Tuple[Tuple[str, int], ...] = (
+        ("reg", 2), ("height", 1), ("dim", 3), ("rot", 2), ("vel", 2))
+    init_bias: float = -2.19
+    norm_bbox: bool = True           # dims regressed in log space
+    # targets
+    out_size_factor: int = 4
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    max_objs: int = 500
+    code_weights: Tuple[float, ...] = (1.0,) * 8 + (0.2, 0.2)
+    loss_bbox_weight: float = 0.25
+    # test
+    score_threshold: float = 0.1
+    post_center_range: Tuple[float, ...] = (-61.2, -61.2, -10.0,
+                                            61.2, 61.2, 10.0)
+    nms_thr: float = 0.2
+    post_max_size: int = 83
+    topk: int = 500
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.01
+
+    @property
+    def num_classes(self) -> int:
+        return sum(len(t) for t in self.tasks)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +325,9 @@ class FinetuneConfig:
     num_blocks: int = 6
     second: SECONDConfig = field(default_factory=SECONDConfig)
     fpn: FPNConfig = field(default_factory=FPNConfig)
+    head_type: str = "anchor"                 # "anchor" | "center"
     head: AnchorHeadConfig = field(default_factory=AnchorHeadConfig)
+    center_head: CenterHeadConfig = field(default_factory=CenterHeadConfig)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(
         lr=1e-4, weight_decay=0.01, grad_clip_norm=35.0,
         target_ratio=(10.0, 1e-4), step_ratio_up=0.4,
@@ -309,6 +349,24 @@ def geomae_finetune_nus(**overrides) -> FinetuneConfig:
     return replace(FinetuneConfig(), **overrides) if overrides else FinetuneConfig()
 
 
+def geomae_finetune_nus_centerhead(**overrides) -> FinetuneConfig:
+    """The CenterHead fine-tune variant
+    (``configs/pre_sst/m_sst_nus_centerhead_second_35_...py``): 0.256 m
+    pillars, SECOND [3, 5] stages, FPN [0.5, 1] -> 512ch at 100x100."""
+    cfg = FinetuneConfig(
+        voxel=VoxelConfig(
+            point_cloud_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+            voxel_size=(0.256, 0.256, 8.0)),
+        second=SECONDConfig(out_channels=(128, 256), layer_nums=(3, 5),
+                            layer_strides=(2, 2)),
+        fpn=FPNConfig(in_channels=(128, 256), out_channels=(256, 256),
+                      upsample_strides=(0.5, 1)),
+        head_type="center",
+        center_head=CenterHeadConfig(out_size_factor=4),
+    )
+    return replace(cfg, **overrides) if overrides else cfg
+
+
 def tiny_finetune_config() -> FinetuneConfig:
     """Small fine-tune config for CPU tests: 40x40 grid, tiny caps."""
     voxel = VoxelConfig(
@@ -328,6 +386,23 @@ def tiny_finetune_config() -> FinetuneConfig:
     return FinetuneConfig(voxel=voxel, caps=caps, vfe=vfe, sst=sst,
                           num_blocks=2, second=second, fpn=fpn, head=head,
                           max_gt_boxes=32, compute_dtype="float32")
+
+
+def tiny_finetune_center_config() -> FinetuneConfig:
+    """Tiny CenterHead variant for CPU tests."""
+    base = tiny_finetune_config()
+    return replace(
+        base,
+        second=SECONDConfig(in_channels=32, out_channels=(32, 64),
+                            layer_nums=(1, 1), layer_strides=(2, 2)),
+        fpn=FPNConfig(in_channels=(32, 64), out_channels=(32, 32),
+                      upsample_strides=(0.5, 1)),
+        head_type="center",
+        center_head=CenterHeadConfig(
+            in_channels=64, share_conv_channel=16, out_size_factor=4,
+            max_objs=32, topk=32, post_max_size=16,
+            post_center_range=(-10, -10, -10, 10, 10, 10)),
+        max_gt_boxes=32)
 
 
 def tiny_pretrain_config() -> PretrainConfig:

@@ -53,6 +53,10 @@ class DynamicVoxelNet(nn.Module):
         bev = recover_bev(x, table.coords, table.valid, ny, nx)
         stages = SECONDStages(cfg.second, dtype, name="second")(bev, train)
         fpn = SECONDFPN(cfg.fpn, dtype, name="neck")(stages, train)
+        if cfg.head_type == "center":
+            from .center_head import CenterHead
+            return CenterHead(cfg.center_head, dtype, name="bbox_head")(
+                fpn, train)
         return Anchor3DHead(cfg.head, dtype, name="bbox_head")(fpn)
 
 

@@ -95,7 +95,12 @@ class SECONDFPN(nn.Module):
             if us == 1:
                 x = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
                             name=f"deblock{i}_conv")(x)
+            elif us < 1:            # fractional stride = strided conv down
+                s = int(round(1 / us))
+                x = nn.Conv(ch, (s, s), strides=(s, s), use_bias=False,
+                            dtype=self.dtype, name=f"deblock{i}_down")(x)
             else:
+                us = int(us)
                 x = nn.ConvTranspose(ch, (us, us), strides=(us, us),
                                      use_bias=False, dtype=self.dtype,
                                      name=f"deblock{i}_deconv")(x)

@@ -89,8 +89,14 @@ def make_train_step(cfg: FinetuneConfig, tx):
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             scene, train=True, mutable=["batch_stats"])
-        losses = head_loss(out, anchors, batch["gt_boxes"],
-                           batch["gt_labels"], batch["gt_mask"], cfg.head)
+        if cfg.head_type == "center":
+            from ..models.center_head import center_head_loss
+            losses = center_head_loss(out, batch["gt_boxes"],
+                                      batch["gt_labels"], batch["gt_mask"],
+                                      cfg.center_head, cfg.voxel)
+        else:
+            losses = head_loss(out, anchors, batch["gt_boxes"],
+                               batch["gt_labels"], batch["gt_mask"], cfg.head)
         losses["loss"] = sum(losses.values())
         return losses["loss"], (losses, mut["batch_stats"])
 
@@ -113,6 +119,9 @@ def make_predict_fn(cfg: FinetuneConfig):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             scene, train=False)
+        if cfg.head_type == "center":
+            from ..models.center_head import center_head_decode
+            return center_head_decode(out, cfg.center_head, cfg.voxel)
         return predict(out, anchors, cfg.head)
 
     return predict_fn
