@@ -51,14 +51,20 @@ def load_infos(ann_file: str) -> List[Dict]:
 
 
 class NuScenesSSLDataset:
-    """Unlabeled multi-sweep frames for GeoMAE pretraining."""
+    """Unlabeled multi-sweep frames for GeoMAE pretraining.
+
+    When the native point-prep core is available (``geomae_tpu/csrc``) the
+    whole merge+augment+filter+pad pipeline runs as fused C++ per sweep;
+    otherwise the numpy path below applies (same semantics)."""
 
     def __init__(self, cfg: DataConfig, voxel: VoxelConfig, caps,
-                 test_mode: bool = False, infos: Optional[List[Dict]] = None):
+                 test_mode: bool = False, infos: Optional[List[Dict]] = None,
+                 native: bool = True):
         self.cfg = cfg
         self.voxel = voxel
         self.caps = caps
         self.test_mode = test_mode
+        self.native = native
         self.infos = infos if infos is not None else load_infos(
             f"{cfg.data_root}/{cfg.ann_file}")
 
@@ -69,6 +75,13 @@ class NuScenesSSLDataset:
         rng = np.random.default_rng(
             seed if seed is not None else np.random.randint(0, 2**31))
         cfg = self.cfg
+        if self.native:
+            from .native_prep import prepare_ssl_sample
+            out = prepare_ssl_sample(self.infos[idx], cfg, self.voxel,
+                                     self.caps, rng,
+                                     train=not self.test_mode)
+            if out is not None:
+                return out
         pts = merge_sweeps(self.infos[idx], cfg.data_root, cfg.sweeps_num,
                            cfg.load_dim, cfg.use_dim,
                            cfg.remove_close_radius, test_mode=self.test_mode,
