@@ -107,8 +107,13 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
 
     seg_low = p2v * s_low + scene.slot_low
     seg_low = jnp.where(p2v < v_cap, seg_low, v_cap * s_low)
+    # center coordinates on their global mean so the cumsum inside the
+    # sorted segment-sum stays a bounded random walk (fp32 precision)
+    nvalid = jnp.maximum(jnp.sum(scene.valid), 1)
+    mu = jnp.sum(jnp.where(scene.valid[:, None], zyx, 0), 0) / nvalid
+    zyx_c = zyx - mu
     sums4 = scatter.segment_sum(
-        jnp.concatenate([zyx, jnp.ones_like(zyx[:, :1])], -1),
+        jnp.concatenate([zyx_c, jnp.ones_like(zyx[:, :1])], -1),
         seg_low, v_cap * s_low, scene.valid, sorted_ids=True)
     sums4 = sums4.reshape(v_cap, s_low, 4)
 
@@ -120,7 +125,8 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
 
     def _finish(s4):
         cnt = s4[..., 3]
-        return s4[..., :3] / jnp.maximum(cnt, 1.0)[..., None], cnt > 0
+        mean = s4[..., :3] / jnp.maximum(cnt, 1.0)[..., None] + mu
+        return jnp.where((cnt > 0)[..., None], mean, 0.0), cnt > 0
 
     c_low, occ_low = _finish(sums4)
     c_med, occ_med = _finish(med4)

@@ -1,0 +1,158 @@
+"""Fused band window attention (Pallas TPU kernel).
+
+Drop-in replacement for ``ops.attention.band_attention``: same math (exact
+windowed attention over window-sorted tokens, see ``ops/windows.py``), but
+the [tile, band] score/weight matrices live in VMEM scratch instead of HBM.
+The XLA einsum path materializes the banded K/V copies AND the bf16 weight
+tensor per layer (hundreds of MB per pass at 20k tokens); this kernel
+streams K/V bands straight from HBM with async DMA and never writes the
+weights anywhere.
+
+Per grid step (b, i): DMA the padded K/V/window-id band
+``[i*tile, i*tile + width)`` into VMEM, compute per-head
+``softmax(q K^T / sqrt(d) + mask) V`` with the same -1e9 masking and
+empty-row -> 0 semantics as the reference path, write the [tile, C] output
+block.
+
+Backward currently routes through the einsum path via ``jax.custom_vjp``
+(correct, unfused); a flash-style fused backward is tracked for a later
+round.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import band_attention as band_attention_ref
+
+DEFAULT_TILE = 128
+DEFAULT_NBANDS = 2
+_PAD_WIN = -1
+_NEG = -1e9
+
+
+def _kernel(q_ref, winq_ref, k_hbm, v_hbm, wink_hbm, kvk_hbm,
+            out_ref, kbuf, vbuf, winkbuf, kvkbuf, sems, *, tile, width,
+            nheads, head_dim):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = i * tile
+
+    cp_k = pltpu.make_async_copy(k_hbm.at[b, pl.ds(start, width), :], kbuf,
+                                 sems.at[0])
+    cp_v = pltpu.make_async_copy(v_hbm.at[b, pl.ds(start, width), :], vbuf,
+                                 sems.at[1])
+    cp_w = pltpu.make_async_copy(
+        wink_hbm.at[pl.ds(b, 1), pl.ds(start, width)], winkbuf, sems.at[2])
+    cp_m = pltpu.make_async_copy(
+        kvk_hbm.at[pl.ds(b, 1), pl.ds(start, width)], kvkbuf, sems.at[3])
+    cp_k.start()
+    cp_v.start()
+    cp_w.start()
+    cp_m.start()
+    cp_k.wait()
+    cp_v.wait()
+    cp_w.wait()
+    cp_m.wait()
+
+    q = q_ref[0]                                   # [tile, C]
+    winq = winq_ref[0, :]                          # [tile]
+    wink = winkbuf[0, :]                           # [width]
+    kvk = kvkbuf[0, :]                             # [width]
+    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] != 0)
+
+    scale = 1.0 / (head_dim ** 0.5)
+    for h in range(nheads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl]
+        kh = kbuf[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        e = jnp.where(mask, e, 0.0)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(vbuf.dtype), vbuf[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = (o / jnp.maximum(denom, 1e-20)).astype(
+            out_ref.dtype)
+
+
+def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+                    interpret=False):
+    B, V, H, D = q.shape
+    C = H * D
+    nt = V // tile
+    pad = nbands * tile
+    width = tile + 2 * pad
+
+    qf = q.reshape(B, V, C)
+    kf = jnp.pad(k.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
+    vf = jnp.pad(v.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
+    winp = jnp.pad(win_id, ((0, 0), (pad, pad)), constant_values=_PAD_WIN)
+    kvp = jnp.pad(key_valid.astype(jnp.int32), ((0, 0), (pad, pad)))
+
+    kern = functools.partial(_kernel, tile=tile, width=width, nheads=H,
+                             head_dim=D)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, V, C), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((width, C), k.dtype),
+            pltpu.VMEM((width, C), v.dtype),
+            pltpu.VMEM((1, width), jnp.int32),
+            pltpu.VMEM((1, width), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(qf, win_id, kf, vf, winp, kvp)
+    return out.reshape(B, V, H, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def band_attention_pallas(q, k, v, win_id, key_valid,
+                          tile: int = DEFAULT_TILE,
+                          nbands: int = DEFAULT_NBANDS,
+                          interpret: bool = False):
+    """Pallas-fused exact windowed attention (see module docstring)."""
+    return _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+                           interpret)
+
+
+def _fwd(q, k, v, win_id, key_valid, tile, nbands, interpret):
+    out = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+                          interpret)
+    return out, (q, k, v, win_id, key_valid)
+
+
+def _bwd(tile, nbands, interpret, res, g):
+    q, k, v, win_id, key_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: band_attention_ref(
+            q_, k_, v_, win_id, key_valid=key_valid, tile=tile,
+            nbands=nbands), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+band_attention_pallas.defvjp(_fwd, _bwd)

@@ -30,13 +30,46 @@ def _route_invalid(seg_ids: jnp.ndarray, valid: jnp.ndarray | None,
     return jnp.where(ok, seg_ids, num_segments)
 
 
+def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Segment sum for ASCENDING ids via cumsum + two unique-index scatters.
+
+    XLA's TPU scatter-add internally sorts even when indices are declared
+    sorted, so ``jax.ops.segment_sum`` costs a full sort per call.  With
+    contiguous segments the sum is ``csum[last_of_seg] - csum[first_of_seg
+    - 1]``; first/last rows have UNIQUE segment ids, and unique-index
+    scatters lower to plain parallel stores.  One linear scan + two stores
+    instead of a sort.
+    """
+    N = ids.shape[0]
+    csum = jnp.cumsum(data.astype(jnp.float32), axis=0)
+    nxt = jnp.concatenate([ids[1:], jnp.full((1,), -2, ids.dtype)])
+    prv = jnp.concatenate([jnp.full((1,), -2, ids.dtype), ids[:-1]])
+    is_last = ids != nxt
+    is_first = ids != prv
+    shape = (num_segments + 1,) + data.shape[1:]
+    hi = jnp.zeros(shape, jnp.float32).at[
+        jnp.where(is_last, ids, num_segments)].set(
+        csum, mode="drop", unique_indices=True)
+    before = csum - data.astype(jnp.float32)
+    lo = jnp.zeros(shape, jnp.float32).at[
+        jnp.where(is_first, ids, num_segments)].set(
+        before, mode="drop", unique_indices=True)
+    return (hi - lo)[:num_segments].astype(data.dtype)
+
+
 def segment_sum(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
                 valid: jnp.ndarray | None = None,
                 sorted_ids: bool = False) -> jnp.ndarray:
     """Masked segment sum.  ``data``: [N, ...]; ``seg_ids``: [N]."""
     ids = _route_invalid(seg_ids, valid, num_segments)
+    if sorted_ids:
+        if valid is not None:
+            data = jnp.where(
+                valid.reshape(valid.shape + (1,) * (data.ndim - 1)), data, 0)
+        return _sorted_segment_sum(data, ids, num_segments)
     out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1,
-                              indices_are_sorted=sorted_ids)
+                              indices_are_sorted=False)
     return out[:num_segments]
 
 
@@ -44,10 +77,13 @@ def segment_count(seg_ids: jnp.ndarray, num_segments: int,
                   valid: jnp.ndarray | None = None,
                   sorted_ids: bool = False) -> jnp.ndarray:
     """Number of valid elements per segment, int32 [num_segments]."""
+    if sorted_ids:
+        ones = jnp.ones(seg_ids.shape + (1,), jnp.float32)
+        return segment_sum(ones, seg_ids, num_segments, valid,
+                           sorted_ids=True)[..., 0].astype(jnp.int32)
     ids = _route_invalid(seg_ids, valid, num_segments)
     ones = jnp.ones(seg_ids.shape, dtype=jnp.int32)
-    out = jax.ops.segment_sum(ones, ids, num_segments=num_segments + 1,
-                              indices_are_sorted=sorted_ids)
+    out = jax.ops.segment_sum(ones, ids, num_segments=num_segments + 1)
     return out[:num_segments]
 
 
@@ -59,15 +95,56 @@ def segment_mean(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
     Matches ``get_centroid_per_voxel`` (reference ``..._ssl.py:728-768``):
     scatter-add then divide by count.  Sum and count fuse into ONE scatter
     by appending a ones column.
+
+    With ``sorted_ids`` the sum is cumsum-based (:func:`_sorted_segment_
+    sum`); to keep fp32 precision the data is centered on its global mean
+    first so the running sum is a bounded random walk rather than a
+    drifting accumulator, and the mean is re-shifted afterwards.
     """
     data = data.astype(jnp.float32)   # bf16 counts overflow past 256
+    if sorted_ids:
+        if valid is not None:
+            m = valid.reshape(valid.shape + (1,) * (data.ndim - 1))
+            cnt_all = jnp.maximum(jnp.sum(m), 1)
+            mu = jnp.sum(jnp.where(m, data, 0), axis=0) / cnt_all
+        else:
+            mu = jnp.mean(data, axis=0)
+        data = data - mu
+    else:
+        mu = None
     ones = jnp.ones(data.shape[:-1] + (1,), jnp.float32)
     s = segment_sum(jnp.concatenate([data, ones], -1), seg_ids, num_segments,
                     valid, sorted_ids)
     c = s[..., -1]
     denom = jnp.maximum(c, 1.0)
     mean = s[..., :-1] / denom[..., None]
+    if mu is not None:
+        mean = jnp.where((c > 0)[..., None], mean + mu, 0.0)
     return mean, c.astype(jnp.int32)
+
+
+def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Segment max for ASCENDING ids: segmented max-scan + unique scatter
+    (same rationale as :func:`_sorted_segment_sum`)."""
+    prv = jnp.concatenate([jnp.full((1,), -2, ids.dtype), ids[:-1]])
+    nxt = jnp.concatenate([ids[1:], jnp.full((1,), -2, ids.dtype)])
+    first = (ids != prv)
+    is_last = ids != nxt
+
+    def op(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        v = jnp.where(f2.reshape(f2.shape + (1,) * (v2.ndim - f2.ndim)),
+                      v2, jnp.maximum(v1, v2))
+        return (f1 | f2, v)
+
+    _, scanned = jax.lax.associative_scan(op, (first, data), axis=0)
+    shape = (num_segments + 1,) + data.shape[1:]
+    out = jnp.zeros(shape, data.dtype).at[
+        jnp.where(is_last, ids, num_segments)].set(
+        scanned, mode="drop", unique_indices=True)
+    return out[:num_segments]
 
 
 def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
@@ -80,9 +157,19 @@ def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
     (reference ``voxel_encoder.py:400-412``).
     """
     ids = _route_invalid(seg_ids, valid, num_segments)
-    out = jax.ops.segment_max(data, ids, num_segments=num_segments + 1,
-                              indices_are_sorted=sorted_ids)
-    out = out[:num_segments]
+    if sorted_ids:
+        neg = jnp.asarray(-jnp.inf if jnp.issubdtype(data.dtype,
+                                                     jnp.floating)
+                          else jnp.iinfo(data.dtype).min, data.dtype)
+        if valid is not None:
+            data = jnp.where(
+                valid.reshape(valid.shape + (1,) * (data.ndim - 1)),
+                data, neg)
+        out = _sorted_segment_max(data, ids, num_segments)
+    else:
+        out = jax.ops.segment_max(data, ids,
+                                  num_segments=num_segments + 1)
+        out = out[:num_segments]
     c = segment_count(seg_ids, num_segments, valid, sorted_ids)
     nonempty = (c > 0).reshape(c.shape + (1,) * (out.ndim - 1))
     return jnp.where(nonempty, out, jnp.asarray(empty_value, out.dtype))
