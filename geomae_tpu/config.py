@@ -115,6 +115,8 @@ class SSTConfig:
     pos_temperature: float = 10000.0
     normalize_pos: bool = False
     activation: str = "gelu"
+    # "auto": Pallas fused kernel on TPU, einsum elsewhere
+    attention_impl: str = "auto"      # "auto" | "pallas" | "einsum"
 
 
 @dataclass(frozen=True)

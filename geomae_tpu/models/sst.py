@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import SSTConfig
@@ -58,6 +59,16 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     return out
 
 
+def _select_attention(impl: str):
+    if impl == "einsum":
+        return None
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"):
+        from ..ops.pallas_attention import band_attention_pallas
+        return band_attention_pallas
+    return None
+
+
 class WindowMHA(nn.Module):
     """Multi-head attention with torch ``nn.MultiheadAttention`` param
     layout (fused qkv projection + out projection)."""
@@ -65,6 +76,7 @@ class WindowMHA(nn.Module):
     d_model: int
     nhead: int
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
@@ -88,8 +100,13 @@ class WindowMHA(nn.Module):
         q = q.reshape(B, V, H, D)
         k = k.reshape(B, V, H, D)
         v = v.reshape(B, V, H, D)
-        out = band_attention(q, k, v, shift_data["win_id"],
-                             key_valid=shift_data["key_valid_sorted"])
+        fused = _select_attention(self.attention_impl)
+        if fused is not None:
+            out = fused(q, k, v, shift_data["win_id"],
+                        shift_data["key_valid_sorted"])
+        else:
+            out = band_attention(q, k, v, shift_data["win_id"],
+                                 key_valid=shift_data["key_valid_sorted"])
         out = out.reshape(B, V, C)
         out = nn.Dense(C, dtype=self.dtype, name="out_proj",
                        kernel_init=nn.initializers.xavier_uniform())(out)
@@ -105,8 +122,8 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
         c = self.cfg
-        a = WindowMHA(c.d_model, c.nhead, self.dtype, name="win_attn")(
-            x, shift_data)
+        a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
+                      name="win_attn")(x, shift_data)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
         act = nn.gelu if c.activation == "gelu" else nn.relu
         h = nn.Dense(c.dim_feedforward, dtype=self.dtype,
