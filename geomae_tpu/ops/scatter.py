@@ -30,44 +30,51 @@ def _route_invalid(seg_ids: jnp.ndarray, valid: jnp.ndarray | None,
     return jnp.where(ok, seg_ids, num_segments)
 
 
+def _segment_bounds(ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """``R[s]`` = index of the first element with id > s, for ascending
+    integer ``ids`` — i.e. the exclusive end of segment s.  The segment
+    start is ``R[s-1]`` (integer queries are consecutive).  Binary search
+    (``searchsorted``) is gathers-only; TPU scatters sort internally even
+    for unique indices, so everything here avoids them.
+    """
+    q = jnp.arange(num_segments, dtype=ids.dtype)
+    return jnp.searchsorted(ids, q, side="right").astype(jnp.int32)
+
+
 def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int) -> jnp.ndarray:
-    """Segment sum for ASCENDING ids via cumsum + two unique-index scatters.
+    """Segment sum for ASCENDING ids: cumulative sum + boundary gathers.
 
-    XLA's TPU scatter-add internally sorts even when indices are declared
-    sorted, so ``jax.ops.segment_sum`` costs a full sort per call.  With
-    contiguous segments the sum is ``csum[last_of_seg] - csum[first_of_seg
-    - 1]``; first/last rows have UNIQUE segment ids, and unique-index
-    scatters lower to plain parallel stores.  One linear scan + two stores
-    instead of a sort.
+    ``sum_s = csum[end_s - 1] - csum[start_s - 1]`` with boundaries from
+    :func:`_segment_bounds`.  One linear scan + gathers; no sort, no
+    scatter.
     """
-    N = ids.shape[0]
     csum = jnp.cumsum(data.astype(jnp.float32), axis=0)
-    nxt = jnp.concatenate([ids[1:], jnp.full((1,), -2, ids.dtype)])
-    prv = jnp.concatenate([jnp.full((1,), -2, ids.dtype), ids[:-1]])
-    is_last = ids != nxt
-    is_first = ids != prv
-    shape = (num_segments + 1,) + data.shape[1:]
-    hi = jnp.zeros(shape, jnp.float32).at[
-        jnp.where(is_last, ids, num_segments)].set(
-        csum, mode="drop", unique_indices=True)
-    before = csum - data.astype(jnp.float32)
-    lo = jnp.zeros(shape, jnp.float32).at[
-        jnp.where(is_first, ids, num_segments)].set(
-        before, mode="drop", unique_indices=True)
-    return (hi - lo)[:num_segments].astype(data.dtype)
+    R = _segment_bounds(ids, num_segments)
+    start = jnp.concatenate([jnp.zeros((1,), R.dtype), R[:-1]])
+    exp = (R.shape[0],) + (1,) * (data.ndim - 1)
+    hi = jnp.where((R > 0).reshape(exp), csum[jnp.maximum(R - 1, 0)], 0.0)
+    lo = jnp.where((start > 0).reshape(exp),
+                   csum[jnp.maximum(start - 1, 0)], 0.0)
+    return (hi - lo).astype(data.dtype)
 
 
 def segment_sum(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
                 valid: jnp.ndarray | None = None,
                 sorted_ids: bool = False) -> jnp.ndarray:
-    """Masked segment sum.  ``data``: [N, ...]; ``seg_ids``: [N]."""
-    ids = _route_invalid(seg_ids, valid, num_segments)
+    """Masked segment sum.  ``data``: [N, ...]; ``seg_ids``: [N].
+
+    ``sorted_ids=True`` requires ascending, non-negative ids (ids >= num_
+    segments are allowed as a suffix and ignored); invalid elements keep
+    their id and contribute zero, so interleaved validity is fine.
+    """
     if sorted_ids:
         if valid is not None:
             data = jnp.where(
                 valid.reshape(valid.shape + (1,) * (data.ndim - 1)), data, 0)
-        return _sorted_segment_sum(data, ids, num_segments)
+        return _sorted_segment_sum(data, seg_ids.astype(jnp.int32),
+                                   num_segments)
+    ids = _route_invalid(seg_ids, valid, num_segments)
     out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1,
                               indices_are_sorted=False)
     return out[:num_segments]
@@ -125,12 +132,10 @@ def segment_mean(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
 
 def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int) -> jnp.ndarray:
-    """Segment max for ASCENDING ids: segmented max-scan + unique scatter
-    (same rationale as :func:`_sorted_segment_sum`)."""
+    """Segment max for ASCENDING ids: segmented max-scan + boundary gather
+    (same no-scatter rationale as :func:`_sorted_segment_sum`)."""
     prv = jnp.concatenate([jnp.full((1,), -2, ids.dtype), ids[:-1]])
-    nxt = jnp.concatenate([ids[1:], jnp.full((1,), -2, ids.dtype)])
     first = (ids != prv)
-    is_last = ids != nxt
 
     def op(a, b):
         f1, v1 = a
@@ -140,11 +145,11 @@ def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
         return (f1 | f2, v)
 
     _, scanned = jax.lax.associative_scan(op, (first, data), axis=0)
-    shape = (num_segments + 1,) + data.shape[1:]
-    out = jnp.zeros(shape, data.dtype).at[
-        jnp.where(is_last, ids, num_segments)].set(
-        scanned, mode="drop", unique_indices=True)
-    return out[:num_segments]
+    R = _segment_bounds(ids, num_segments)
+    start = jnp.concatenate([jnp.zeros((1,), R.dtype), R[:-1]])
+    exp = (R.shape[0],) + (1,) * (data.ndim - 1)
+    out = scanned[jnp.maximum(R - 1, 0)]
+    return jnp.where((R > start).reshape(exp), out, 0).astype(data.dtype)
 
 
 def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
@@ -156,7 +161,6 @@ def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
     Matches ``scatter_v2(..., mode='max')`` semantics used by the VFE
     (reference ``voxel_encoder.py:400-412``).
     """
-    ids = _route_invalid(seg_ids, valid, num_segments)
     if sorted_ids:
         neg = jnp.asarray(-jnp.inf if jnp.issubdtype(data.dtype,
                                                      jnp.floating)
@@ -165,8 +169,10 @@ def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
             data = jnp.where(
                 valid.reshape(valid.shape + (1,) * (data.ndim - 1)),
                 data, neg)
-        out = _sorted_segment_max(data, ids, num_segments)
+        out = _sorted_segment_max(data, seg_ids.astype(jnp.int32),
+                                  num_segments)
     else:
+        ids = _route_invalid(seg_ids, valid, num_segments)
         out = jax.ops.segment_max(data, ids,
                                   num_segments=num_segments + 1)
         out = out[:num_segments]

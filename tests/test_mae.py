@@ -75,7 +75,7 @@ def test_targets_centroid_oracle(cfg, setup):
                          coords[v, 0] * ry + (s // rx) % ry,
                          coords[v, 1] * rx + s % rx])
         want = (cent - (coor * size + origin)) / size
-        np.testing.assert_allclose(got_c[v, s], want, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got_c[v, s], want, rtol=3e-3, atol=3e-3)
         assert np.all(want >= -1e-3) and np.all(want <= 1 + 1e-3)
 
         # med slot of the same point
@@ -88,7 +88,7 @@ def test_targets_centroid_oracle(cfg, setup):
                           coords[v, 0] * myr + (m // mxr) % myr,
                           coords[v, 1] * mxr + m % mxr])
         wantm = (centm - (coorm * sizem + origin)) / sizem
-        np.testing.assert_allclose(got_cm[v, m], wantm, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got_cm[v, m], wantm, rtol=3e-3, atol=3e-3)
 
         # top centroid
         selt = pv & (p2v == v)
@@ -96,7 +96,7 @@ def test_targets_centroid_oracle(cfg, setup):
         sizet = np.array([vz, vy, vx])
         coort = np.array([0, coords[v, 0], coords[v, 1]])
         wantt = (centt - (coort * sizet + origin)) / sizet
-        np.testing.assert_allclose(got_ct[v], wantt, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got_ct[v], wantt, rtol=3e-3, atol=3e-3)
         checked += 1
     assert checked > 50
 

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,65 @@ def test_segment_mean_max_vs_numpy(rng):
             np.testing.assert_array_equal(np.asarray(mean)[s], 0.0)
             np.testing.assert_array_equal(np.asarray(mx)[s], -7.0)
         assert np.asarray(cnt)[s] == sel.sum()
+
+
+def test_sorted_segment_ops_vs_numpy(rng):
+    N, S, C = 500, 40, 3
+    ids = np.sort(rng.integers(0, S, size=N)).astype(np.int32)
+    data = rng.normal(size=(N, C)).astype(np.float32) + 5.0  # biased: tests centering
+    valid = rng.random(N) > 0.15
+    # invalid elements must be a suffix to preserve sortedness contract?
+    # no — validity may interleave; ids stay ascending either way.
+    mean, cnt = scatter.segment_mean(jnp.asarray(data), jnp.asarray(ids), S,
+                                     jnp.asarray(valid), sorted_ids=True)
+    mx = scatter.segment_max(jnp.asarray(data), jnp.asarray(ids), S,
+                             jnp.asarray(valid), empty_value=-3.0,
+                             sorted_ids=True)
+    s = scatter.segment_sum(jnp.asarray(data), jnp.asarray(ids), S,
+                            jnp.asarray(valid), sorted_ids=True)
+    c2 = scatter.segment_count(jnp.asarray(ids), S, jnp.asarray(valid),
+                               sorted_ids=True)
+    for seg in range(S):
+        sel = (ids == seg) & valid
+        assert np.asarray(cnt)[seg] == sel.sum() == np.asarray(c2)[seg]
+        if sel.sum():
+            np.testing.assert_allclose(np.asarray(mean)[seg],
+                                       data[sel].mean(0), rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(s)[seg],
+                                       data[sel].sum(0), rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(mx)[seg],
+                                       data[sel].max(0), rtol=1e-5)
+        else:
+            np.testing.assert_array_equal(np.asarray(mean)[seg], 0.0)
+            np.testing.assert_array_equal(np.asarray(mx)[seg], -3.0)
+
+
+def test_sorted_segment_grad(rng):
+    """Gradients flow through the sorted max/mean paths."""
+    N, S, C = 64, 8, 4
+    ids = np.sort(rng.integers(0, S, size=N)).astype(np.int32)
+    data = rng.normal(size=(N, C)).astype(np.float32)
+    valid = np.ones(N, bool)
+
+    def f(x):
+        mx = scatter.segment_max(x, jnp.asarray(ids), S, jnp.asarray(valid),
+                                 sorted_ids=True)
+        mean, _ = scatter.segment_mean(x, jnp.asarray(ids), S,
+                                       jnp.asarray(valid), sorted_ids=True)
+        return jnp.sum(mx ** 2) + jnp.sum(mean ** 2)
+
+    g = jax.grad(f)(jnp.asarray(data))
+    # finite-difference check on a few coordinates
+    eps = 1e-3
+    for (i, j) in [(0, 0), (10, 2), (63, 3)]:
+        d2 = data.copy()
+        d2[i, j] += eps
+        d1 = data.copy()
+        d1[i, j] -= eps
+        fd = (float(f(jnp.asarray(d2))) - float(f(jnp.asarray(d1)))) / (2 * eps)
+        assert abs(float(g[i, j]) - fd) < 5e-2, (i, j, float(g[i, j]), fd)
 
 
 def test_gather_rows_fill():
