@@ -58,6 +58,15 @@ def get_lib():
         lib.shuffle_rows.restype = None
         lib.shuffle_rows.argtypes = [f64p, ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_uint64]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.build_scene.restype = ctypes.c_int64
+        lib.build_scene.argtypes = (
+            [f64p, ctypes.c_int64, ctypes.c_int32]
+            + [ctypes.c_float] * 6
+            + [ctypes.c_int32] * 8
+            + [ctypes.c_int64, ctypes.c_int32]
+            + [f64p, i32p, i32p, i32p, i32p, u8p])
         _lib = lib
         return _lib
 

@@ -72,3 +72,43 @@ def prepare_ssl_sample(info: Dict, cfg: DataConfig, voxel: VoxelConfig,
     valid = np.zeros(caps.max_points, bool)
     valid[:n] = True
     return dict(points=out, point_valid=valid)
+
+
+def build_scene_host(points: np.ndarray, n_valid: int, voxel: VoxelConfig,
+                     v_cap: int) -> Optional[Dict]:
+    """Host-side canonical scene build (C++ radix sort) — the loader-side
+    equivalent of ``ops.voxelize.build_scene``.  Returns dict of arrays
+    matching the :class:`geomae_tpu.ops.voxelize.Scene` layout, or None
+    when the native core is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    P, D = points.shape
+    r = voxel.point_cloud_range
+    rz, ry, rx = voxel.sub_voxel_ratio_low
+    mz, my, mx = voxel.sub_voxel_ratio_med
+    ny, nx = voxel.grid_size
+    vx, vy, vz = voxel.voxel_size
+    out_pts = np.zeros_like(points)
+    slot_low = np.zeros(P, np.int32)
+    slot_med = np.zeros(P, np.int32)
+    p2v = np.zeros(P, np.int32)
+    coords = np.zeros((v_cap, 2), np.int32)
+    tvalid = np.zeros(v_cap, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nv = lib.build_scene(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_valid, D,
+        np.float32(r[0]), np.float32(r[1]), np.float32(r[2]),
+        np.float32(vx / rx), np.float32(vy / ry), np.float32(vz / rz),
+        nx, ny, rx, ry, rz, mx, my, mz, P, v_cap,
+        out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        slot_low.ctypes.data_as(i32p), slot_med.ctypes.data_as(i32p),
+        p2v.ctypes.data_as(i32p), coords.ctypes.data_as(i32p),
+        tvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    valid = np.zeros(P, bool)
+    valid[:n_valid] = True
+    return dict(points=out_pts, point_valid=valid,
+                slot_low=slot_low, slot_med=slot_med, p2v=p2v,
+                coords=coords, table_valid=tvalid.astype(bool),
+                num_voxels=np.int32(min(nv, 2**31 - 1)))

@@ -59,12 +59,14 @@ class NuScenesSSLDataset:
 
     def __init__(self, cfg: DataConfig, voxel: VoxelConfig, caps,
                  test_mode: bool = False, infos: Optional[List[Dict]] = None,
-                 native: bool = True):
+                 native: bool = True, precompute_scene: bool = False):
         self.cfg = cfg
         self.voxel = voxel
         self.caps = caps
         self.test_mode = test_mode
         self.native = native
+        # host-side voxelize+sort in the loader (device skips build_scene)
+        self.precompute_scene = precompute_scene
         self.infos = infos if infos is not None else load_infos(
             f"{cfg.data_root}/{cfg.ann_file}")
 
@@ -76,11 +78,17 @@ class NuScenesSSLDataset:
             seed if seed is not None else np.random.randint(0, 2**31))
         cfg = self.cfg
         if self.native:
-            from .native_prep import prepare_ssl_sample
+            from .native_prep import build_scene_host, prepare_ssl_sample
             out = prepare_ssl_sample(self.infos[idx], cfg, self.voxel,
                                      self.caps, rng,
                                      train=not self.test_mode)
             if out is not None:
+                if self.precompute_scene:
+                    scene = build_scene_host(
+                        out["points"], int(out["point_valid"].sum()),
+                        self.voxel, self.caps.max_voxels)
+                    if scene is not None:
+                        return scene
                 return out
         pts = merge_sweeps(self.infos[idx], cfg.data_root, cfg.sweeps_num,
                            cfg.load_dim, cfg.use_dim,

@@ -157,6 +157,17 @@ def build_scene_batch(points: jnp.ndarray, point_valid: jnp.ndarray,
         points, point_valid)
 
 
+def scene_from_arrays(batch) -> Scene:
+    """Rebuild a Scene from loader-precomputed arrays (host-side voxelize;
+    see ``data.native_prep.build_scene_host``)."""
+    table = VoxelTable(coords=batch["coords"], valid=batch["table_valid"],
+                       num_voxels=batch["num_voxels"],
+                       point2voxel=batch["p2v"])
+    return Scene(points=batch["points"], valid=batch["point_valid"],
+                 table=table, slot_low=batch["slot_low"],
+                 slot_med=batch["slot_med"])
+
+
 def hard_voxelize(scene: Scene, max_points: int):
     """Dense per-voxel point buffers from a sorted scene.
 

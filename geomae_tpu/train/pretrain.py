@@ -41,10 +41,19 @@ def dummy_batch(cfg: PretrainConfig, batch_size: int, seed: int = 0) -> Dict:
 
 
 def forward(cfg: PretrainConfig, variables, batch, rng, train: bool):
-    """Voxelize -> targets -> mask -> model.  Returns (losses, new_stats)."""
+    """Voxelize -> targets -> mask -> model.  Returns (losses, new_stats).
+
+    When the loader pre-voxelized on host (``data.native_prep.
+    build_scene_host``) the batch carries the scene arrays and the device
+    skips the sort entirely.
+    """
     model = build_model(cfg)
-    scene = build_scene_batch(batch["points"], batch["point_valid"],
-                              cfg.voxel, cfg.caps.max_voxels)
+    if "p2v" in batch:
+        from ..ops.voxelize import scene_from_arrays
+        scene = scene_from_arrays(batch)
+    else:
+        scene = build_scene_batch(batch["points"], batch["point_valid"],
+                                  cfg.voxel, cfg.caps.max_voxels)
     targets = jax.tree_util.tree_map(
         jax.lax.stop_gradient, compute_targets_batch(scene, cfg))
     keep = sample_mask(rng, scene.table.valid, cfg.mae.random_mask_ratio)
