@@ -8,11 +8,14 @@ tensor per layer (hundreds of MB per pass at 20k tokens); this kernel
 streams K/V bands straight from HBM with async DMA and never writes the
 weights anywhere.
 
-Per grid step (b, i): DMA the padded K/V/window-id band
+Per grid step (b, i): DMA the padded K/V band and a float32 aux band
+(window id + key-validity channels; ids < 2^24 are exact in f32, which
+sidesteps Mosaic's int32 slice-tiling limits) for positions
 ``[i*tile, i*tile + width)`` into VMEM, compute per-head
 ``softmax(q K^T / sqrt(d) + mask) V`` with the same -1e9 masking and
-empty-row -> 0 semantics as the reference path, write the [tile, C] output
-block.
+empty-row -> 0 semantics as the reference path, and write the [tile, C]
+output block.  The query tile's window ids are the middle slice of the
+band, so no separate query-side metadata is needed.
 
 Backward currently routes through the einsum path via ``jax.custom_vjp``
 (correct, unfused); a flash-style fused backward is tracked for a later
@@ -31,13 +34,12 @@ from .attention import band_attention as band_attention_ref
 
 DEFAULT_TILE = 128
 DEFAULT_NBANDS = 2
-_PAD_WIN = -1
+_PAD_WIN = -1.0
 _NEG = -1e9
 
 
-def _kernel(q_ref, winq_ref, k_hbm, v_hbm, wink_hbm, kvk_hbm,
-            out_ref, kbuf, vbuf, winkbuf, kvkbuf, sems, *, tile, width,
-            nheads, head_dim):
+def _kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, kbuf, vbuf, auxbuf,
+            sems, *, tile, width, nheads, head_dim, pad):
     b = pl.program_id(0)
     i = pl.program_id(1)
     start = i * tile
@@ -46,24 +48,21 @@ def _kernel(q_ref, winq_ref, k_hbm, v_hbm, wink_hbm, kvk_hbm,
                                  sems.at[0])
     cp_v = pltpu.make_async_copy(v_hbm.at[b, pl.ds(start, width), :], vbuf,
                                  sems.at[1])
-    cp_w = pltpu.make_async_copy(
-        wink_hbm.at[pl.ds(b, 1), pl.ds(start, width)], winkbuf, sems.at[2])
-    cp_m = pltpu.make_async_copy(
-        kvk_hbm.at[pl.ds(b, 1), pl.ds(start, width)], kvkbuf, sems.at[3])
+    cp_a = pltpu.make_async_copy(
+        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[2])
     cp_k.start()
     cp_v.start()
-    cp_w.start()
-    cp_m.start()
+    cp_a.start()
     cp_k.wait()
     cp_v.wait()
-    cp_w.wait()
-    cp_m.wait()
+    cp_a.wait()
 
     q = q_ref[0]                                   # [tile, C]
-    winq = winq_ref[0, :]                          # [tile]
-    wink = winkbuf[0, :]                           # [width]
-    kvk = kvkbuf[0, :]                             # [width]
-    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] != 0)
+    wink = auxbuf[0, 0, :]                         # [width] f32 window ids
+    kvk = auxbuf[0, 1, :]                          # [width] f32 validity
+    # the query tile's window ids are the middle slice of the band
+    winq = auxbuf[0, 0, pad:pad + tile]            # [tile]
+    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
@@ -96,20 +95,22 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
     qf = q.reshape(B, V, C)
     kf = jnp.pad(k.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
     vf = jnp.pad(v.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
-    winp = jnp.pad(win_id, ((0, 0), (pad, pad)), constant_values=_PAD_WIN)
-    kvp = jnp.pad(key_valid.astype(jnp.int32), ((0, 0), (pad, pad)))
+    # window ids as exact small floats; sorted-table padding (INT32_MAX)
+    # exceeds 2^24, so clamp it to a sentinel that never matches a real id
+    win_f = jnp.where(win_id >= 2 ** 24, 2.0 ** 25, win_id.astype(jnp.float32))
+    aux = jnp.stack([
+        jnp.pad(win_f, ((0, 0), (pad, pad)), constant_values=_PAD_WIN),
+        jnp.pad(key_valid.astype(jnp.float32), ((0, 0), (pad, pad))),
+    ], axis=1)                                      # [B, 2, V+2pad]
 
     kern = functools.partial(_kernel, tile=tile, width=width, nheads=H,
-                             head_dim=D)
+                             head_dim=D, pad=pad)
     out = pl.pallas_call(
         kern,
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b, i: (b, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -120,12 +121,11 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
         scratch_shapes=[
             pltpu.VMEM((width, C), k.dtype),
             pltpu.VMEM((width, C), v.dtype),
-            pltpu.VMEM((1, width), jnp.int32),
-            pltpu.VMEM((1, width), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(qf, win_id, kf, vf, winp, kvp)
+    )(qf, kf, vf, aux)
     return out.reshape(B, V, H, D)
 
 
