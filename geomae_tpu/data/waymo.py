@@ -136,6 +136,17 @@ class WaymoDataset:
                     gt_mask=m)
 
 
+class KittiDataset(WaymoDataset):
+    """KITTI detection dataset: the reference's ``KittiDataset`` shares the
+    info schema (``point_cloud.velodyne_path`` + camera-frame ``annos`` +
+    ``calib``); 4-channel velodyne points, Car/Pedestrian/Cyclist labels."""
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("load_dims", 4)
+        kw.setdefault("use_dims", 4)
+        super().__init__(*args, **kw)
+
+
 class WaymoSSLDataset(WaymoDataset):
     """Unlabeled multi-sweep frames for pretraining
     (``WaymoDatasetComplement`` role, ``configs/_base_/datasets/

@@ -193,6 +193,40 @@ def sample_mask(rng: jax.Array, valid: jnp.ndarray,
     return (rank < len_keep) & valid
 
 
+def sample_focal_mask(rng: jax.Array, table, gt_boxes, gt_mask,
+                      voxel_cfg, mask_ratio: float) -> jnp.ndarray:
+    """Foreground-focused masking (``get_focal_mask_index``,
+    ``..._ssl.py:245-284``): pillars whose BEV center falls inside a GT box
+    (z forced mid-box like the reference's z=1, h=2 trick) are randomly
+    masked at ``mask_ratio``; background pillars are always kept.
+
+    Args: table batched VoxelTable; gt_boxes [B, G, >=7]; gt_mask [B, G].
+    Returns keep mask [B, V].
+    """
+    from ..core.boxes import points_in_boxes
+
+    r = voxel_cfg.point_cloud_range
+    vx, vy = voxel_cfg.voxel_size[0], voxel_cfg.voxel_size[1]
+
+    def one(coords, valid, boxes, bmask, key):
+        centers = jnp.stack([
+            coords[:, 1].astype(jnp.float32) * vx + r[0],
+            coords[:, 0].astype(jnp.float32) * vy + r[1],
+            jnp.ones(coords.shape[0], jnp.float32)], -1)
+        b = boxes.at[:, 2].set(0.0).at[:, 5].set(2.0)
+        inside = points_in_boxes(centers, b) & bmask[None, :]
+        fg = inside.any(-1) & valid
+        L = fg.sum()
+        len_keep = jnp.floor(L * (1.0 - mask_ratio)).astype(jnp.int32)
+        u = jnp.where(fg, jax.random.uniform(key, fg.shape), jnp.inf)
+        rank = jnp.argsort(jnp.argsort(u))
+        keep_fg = (rank < len_keep) & fg
+        return keep_fg | (valid & ~fg)
+
+    keys = jax.random.split(rng, table.valid.shape[0])
+    return jax.vmap(one)(table.coords, table.valid, gt_boxes, gt_mask, keys)
+
+
 def compact_visible(keep: jnp.ndarray, vis_cap: int):
     """Pack kept rows into a [vis_cap] buffer (per sample; vmap over B).
 

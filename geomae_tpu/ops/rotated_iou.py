@@ -129,6 +129,29 @@ def boxes_iou_bev(boxes_a, boxes_b, row_chunk: int = 128):
     return inter / jnp.maximum(union, 1e-8)
 
 
+def circle_nms(centers, scores, valid, min_radius: float, max_out: int):
+    """Greedy center-distance NMS (CenterPoint's ``circle_nms``, reference
+    ``core/post_processing/box3d_nms.py:321`` numba kernel): suppress any
+    candidate within ``min_radius`` of a kept higher-scoring one.
+
+    Args: centers [K, 2] score-sorted descending; valid [K].
+    Returns keep mask [K] (at most max_out True)."""
+    K = centers.shape[0]
+    d2 = jnp.sum((centers[:, None] - centers[None]) ** 2, -1)
+    sup = d2 < min_radius ** 2
+
+    def body(i, alive):
+        keep_i = alive[i] & valid[i]
+        kill = sup[i] & keep_i
+        kill = kill.at[i].set(False)
+        return alive & ~kill
+
+    alive = jax.lax.fori_loop(0, K, body, jnp.ones((K,), bool))
+    keep = alive & valid
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    return keep & (rank < max_out)
+
+
 def nms_bev(boxes5, scores, valid, iou_thr: float, max_out: int):
     """Greedy rotated-BEV NMS (``nms_gpu`` / ``box3d_nms.py:110`` semantics).
 

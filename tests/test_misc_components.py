@@ -1,0 +1,74 @@
+"""Smaller zoo components: circle NMS, focal masking, losses, pillar nets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geomae_tpu.config import tiny_pretrain_config
+from geomae_tpu.models import losses
+from geomae_tpu.models.mae import sample_focal_mask
+from geomae_tpu.ops.rotated_iou import circle_nms
+from geomae_tpu.ops.voxelize import build_scene_batch
+
+
+def test_circle_nms():
+    centers = jnp.asarray([[0., 0], [0.5, 0], [5, 5], [5.2, 5]])
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    keep = np.asarray(circle_nms(centers, scores, jnp.ones(4, bool),
+                                 min_radius=1.0, max_out=10))
+    np.testing.assert_array_equal(keep, [True, False, True, False])
+
+
+def test_focal_mask(rng):
+    cfg = tiny_pretrain_config()
+    P = cfg.caps.max_points
+    r = cfg.voxel.point_cloud_range
+    pts = rng.uniform([r[0], r[1], -2], [r[3], r[4], 0],
+                      (P, 3)).astype(np.float32)[None]
+    valid = np.ones((1, P), bool)
+    scene = build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
+                              cfg.voxel, 2048)  # > 40*40 cells: no overflow
+    # one big GT box covering the first quadrant
+    boxes = np.zeros((1, 4, 9), np.float32)
+    boxes[0, 0] = [2.5, 2.5, -2, 5, 5, 4, 0, 0, 0]
+    gmask = np.zeros((1, 4), bool)
+    gmask[0, 0] = True
+    keep = sample_focal_mask(jax.random.PRNGKey(0), scene.table,
+                             jnp.asarray(boxes), jnp.asarray(gmask),
+                             cfg.voxel, mask_ratio=0.7)
+    keep = np.asarray(keep)[0]
+    coords = np.asarray(scene.table.coords)[0]
+    tvalid = np.asarray(scene.table.valid)[0]
+    vx = cfg.voxel.voxel_size[0]
+    cx = coords[:, 1] * vx + r[0]
+    cy = coords[:, 0] * vx + r[1]
+    fg = (cx >= 0) & (cx <= 5) & (cy >= 0) & (cy <= 5) & tvalid
+    bg = tvalid & ~fg
+    # background always kept; foreground ~30% kept
+    assert keep[bg].all()
+    frac = keep[fg].mean()
+    assert 0.2 < frac < 0.4
+
+
+def test_chamfer_and_iou_losses(rng):
+    a = rng.normal(size=(20, 3)).astype(np.float32)
+    s2d, d2s = losses.chamfer_distance(jnp.asarray(a), jnp.asarray(a))
+    assert float(s2d) < 1e-10 and float(d2s) < 1e-10
+    box = jnp.asarray([[0, 0, 0, 2, 2, 2.]])
+    assert abs(float(losses.axis_aligned_iou_loss(box, box)[0])) < 1e-6
+    box2 = jnp.asarray([[1, 0, 0, 3, 2, 2.]])
+    v = float(losses.axis_aligned_iou_loss(box, box2)[0])
+    assert 0 < v < 1
+
+
+def test_focal_loss_matches_reference_formula(rng):
+    logits = rng.normal(size=(10, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, 10)  # 3 = background
+    got = np.asarray(losses.sigmoid_focal_loss(jnp.asarray(logits),
+                                               jnp.asarray(labels), 3))
+    p = 1 / (1 + np.exp(-logits))
+    onehot = np.eye(4)[labels][:, :3]
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    alpha_t = 0.25 * onehot + 0.75 * (1 - onehot)
+    ce = -(onehot * np.log(p) + (1 - onehot) * np.log(1 - p))
+    want = (alpha_t * (1 - pt) ** 2 * ce).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
