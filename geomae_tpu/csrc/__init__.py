@@ -66,7 +66,7 @@ def get_lib():
             + [ctypes.c_float] * 6
             + [ctypes.c_int32] * 8
             + [ctypes.c_int64, ctypes.c_int32]
-            + [f64p, i32p, i32p, i32p, i32p, u8p])
+            + [f64p, i32p, i32p, i32p, i32p, i32p, u8p])
         _lib = lib
         return _lib
 

@@ -99,15 +99,17 @@ int64_t build_scene(
     int32_t rx, int32_t ry, int32_t rz,  // low ratios per pillar (x, y, z)
     int32_t mx, int32_t my, int32_t mz,  // med ratios per pillar
     int64_t p_cap, int32_t v_cap,
-    float* out_pts, int32_t* slot_low, int32_t* slot_med, int32_t* p2v,
+    float* out_pts, int32_t* slot_low, int32_t* slot_med,
+    int32_t* slot_sort, int32_t* p2v,
     int32_t* coords, uint8_t* tvalid) {
   const int32_t s_low = rz * ry * rx;
   const int32_t fz = rz / mz, fy = ry / my, fx = rx / mx;
 
-  // pass 0: keys
+  // pass 0: keys (med-major slot_sort layout; see ops/voxelize.py)
   int32_t* keys = new int32_t[n];
   int32_t* slow = new int32_t[n];
   int32_t* smed = new int32_t[n];
+  int32_t* ssrt = new int32_t[n];
   for (int64_t i = 0; i < n; ++i) {
     const float* p = pts + i * dims;
     auto clampi = [](int64_t v, int64_t lo, int64_t hi) {
@@ -122,9 +124,13 @@ int64_t build_scene(
     int32_t sl = (int32_t)((lz % rz) * (ry * rx) + (ly % ry) * rx + (lx % rx));
     int32_t sm = (int32_t)(((lz / fz) % mz) * (my * mx) +
                            ((ly / fy) % my) * mx + ((lx / fx) % mx));
+    int32_t intra = (int32_t)(((lz % rz) % fz) * (fy * fx) +
+                              ((ly % ry) % fy) * fx + ((lx % rx) % fx));
+    int32_t ss = sm * (fz * fy * fx) + intra;
     slow[i] = sl;
     smed[i] = sm;
-    keys[i] = (int32_t)((ly / ry) * nx + (lx / rx)) * s_low + sl;
+    ssrt[i] = ss;
+    keys[i] = (int32_t)((ly / ry) * nx + (lx / rx)) * s_low + ss;
   }
 
   // two-pass LSD radix sort (13 bits each) of indices by key
@@ -158,6 +164,7 @@ int64_t build_scene(
                 sizeof(float) * dims);
     slot_low[i] = slow[src];
     slot_med[i] = smed[src];
+    slot_sort[i] = ssrt[src];
     int32_t pillar = keys[src] / s_low;
     if (pillar != prev_pillar) {
       if (nv < v_cap) {
@@ -175,6 +182,7 @@ int64_t build_scene(
   delete[] keys;
   delete[] slow;
   delete[] smed;
+  delete[] ssrt;
   delete[] idx0;
   delete[] idx1;
   return nv;

@@ -93,6 +93,7 @@ def build_scene_host(points: np.ndarray, n_valid: int, voxel: VoxelConfig,
     out_pts = np.zeros_like(points)
     slot_low = np.zeros(P, np.int32)
     slot_med = np.zeros(P, np.int32)
+    slot_sort = np.zeros(P, np.int32)
     p2v = np.zeros(P, np.int32)
     coords = np.zeros((v_cap, 2), np.int32)
     tvalid = np.zeros(v_cap, np.uint8)
@@ -104,11 +105,12 @@ def build_scene_host(points: np.ndarray, n_valid: int, voxel: VoxelConfig,
         nx, ny, rx, ry, rz, mx, my, mz, P, v_cap,
         out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         slot_low.ctypes.data_as(i32p), slot_med.ctypes.data_as(i32p),
+        slot_sort.ctypes.data_as(i32p),
         p2v.ctypes.data_as(i32p), coords.ctypes.data_as(i32p),
         tvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     valid = np.zeros(P, bool)
     valid[:n_valid] = True
     return dict(points=out_pts, point_valid=valid,
-                slot_low=slot_low, slot_med=slot_med, p2v=p2v,
-                coords=coords, table_valid=tvalid.astype(bool),
+                slot_low=slot_low, slot_med=slot_med, slot_sort=slot_sort,
+                p2v=p2v, coords=coords, table_valid=tvalid.astype(bool),
                 num_voxels=np.int32(min(nv, 2**31 - 1)))

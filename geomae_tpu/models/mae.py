@@ -7,20 +7,27 @@ TPU-native rebuild of ``MultiSubVoxelDynamicVoxelNetSSL``
 
 Key re-designs (semantics preserved, layout TPU-first):
 
-* Sub-voxel centroids are scattered **directly** into the
-  ``[V, num_slots, 3]`` target layout with a single segment-mean keyed by
-  ``pillar_row * num_slots + slot`` — the reference instead materializes
-  separate low/med voxel tables and hashes them back
-  (``get_multi_voxel_id_to_tensor_id_ori``, ``..._ssl.py:674-722``).
-* The 3x3-neighborhood med-centroid gather for normals/curvature uses 9
-  shifted dense-grid lookups (``ops/voxelize.neighbor_rows``) instead of
-  spconv's ``get_indice_pairs_implicit_gemm`` (``..._ssl.py:192-207``).
-* Per-voxel ``torch.svd`` becomes a closed-form symmetric 3x3 eigensolver
+* **Sparse point-space targets.** The reference materializes dense
+  ``[V, 128, 3]`` sub-voxel centroid tables through three voxelize+unique+
+  scatter passes (``..._ssl.py:674-722``).  On TPU every scatter lowers to
+  a sort, so instead the canonical (pillar, slot)-sorted scene is reduced
+  with *segmented scans*: each occupied sub-voxel's centroid lives at the
+  LAST point of its contiguous segment, and the loss gathers the dense
+  predictions at those (pillar, slot) positions — mathematically identical
+  to the dense masked mean (occupied slots <-> segments bijectively), with
+  zero scatters.
+* The occupancy BCE is computed as a dense all-negative term over the
+  predictions plus a sparse correction at occupied slots — again exactly
+  equal to the dense form.
+* The 3x3-neighborhood med-centroid gather for normals/curvature uses
+  binary-searched canonical keys (``ops/voxelize.neighbor_rows``) instead
+  of spconv's ``get_indice_pairs_implicit_gemm`` (``..._ssl.py:192-207``);
+  per-voxel ``torch.svd`` becomes a closed-form symmetric 3x3 eigensolver
   (``ops/eig3``).
 * Masked rows keep their table position: the decoder input is
   ``where(keep, encoder_out, mask_token)`` instead of appending masked rows
-  after visible ones and slicing at ``masked_start_id`` (backbone
-  ``:239-280``) — equivalent because pretrain windows are drop-free.
+  after visible ones (backbone ``:239-280``) — equivalent because pretrain
+  windows are drop-free.
 * Targets are in (z, y, x) order like the reference (``..._ssl.py:185-187``).
 """
 from __future__ import annotations
@@ -34,7 +41,8 @@ import jax.numpy as jnp
 from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
-from ..ops.voxelize import Scene, VoxelTable, neighbor_rows
+from ..ops.scatter import _segment_bounds
+from ..ops.voxelize import Scene, neighbor_rows
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .sst import SSTStack, prepare_shift_data
 from .vfe import DynamicScatterVFE
@@ -43,15 +51,70 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 class GeoMAETargets(NamedTuple):
-    """All-[B, V, ...] geometric targets; (z, y, x) coordinate order."""
+    """Sparse + small-dense geometric targets; (z, y, x) coordinate order.
 
-    centroid_low: jnp.ndarray    # [B, V, S_low, 3] normalized, 0 where empty
-    occ_low: jnp.ndarray         # [B, V, S_low] bool
-    centroid_med: jnp.ndarray    # [B, V, S_med, 3]
-    occ_med: jnp.ndarray         # [B, V, S_med] bool
-    centroid_top: jnp.ndarray    # [B, V, 3]
-    normal: jnp.ndarray          # [B, V, 3]
-    curv: jnp.ndarray            # [B, V, 3] (unsupervised in shipped config)
+    ``low_last``/``med_last`` mark the LAST point of each occupied sub-voxel
+    segment in the canonical scene order; the corresponding normalized
+    centroid is valid at exactly those rows.
+    """
+
+    low_last: jnp.ndarray      # [B, P] bool
+    low_centroid: jnp.ndarray  # [B, P, 3] normalized, valid at low_last
+    med_last: jnp.ndarray      # [B, P] bool
+    med_centroid: jnp.ndarray  # [B, P, 3]
+    centroid_top: jnp.ndarray  # [B, V, 3] normalized
+    normal: jnp.ndarray        # [B, V, 3]
+    curv: jnp.ndarray          # [B, V, 3] (unsupervised in shipped config)
+
+
+# ---------------------------------------------------------------------------
+# segmented scan helpers (point space, zero scatters)
+# ---------------------------------------------------------------------------
+
+
+def _seg_boundaries(key: jnp.ndarray, valid: jnp.ndarray):
+    """(first, last) flags of contiguous equal-key runs among valid rows."""
+    P = key.shape[0]
+    prv = jnp.concatenate([jnp.full((1,), -1, key.dtype), key[:-1]])
+    nxt = jnp.concatenate([key[1:], jnp.full((1,), -1, key.dtype)])
+    vprv = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
+    vnxt = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    first = valid & ((key != prv) | ~vprv)
+    last = valid & ((key != nxt) | ~vnxt)
+    return first, last
+
+
+def _seg_cumsum(first: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive cumsum (resets at ``first``)."""
+
+    def op(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return (f1 | f2, jnp.where(f2[..., None], v2, v1 + v2))
+
+    return jax.lax.associative_scan(op, (first, vals), axis=0)[1]
+
+
+def _normalize_sub(cent_zyx, pillar_coords, slot, ratio, voxel):
+    """(c - (coor * size + origin)) / size per sub-voxel
+    (``normalize_centroid_sub_voxel``, ``..._ssl.py:626-641``).
+
+    Args (per point/segment): cent_zyx [N, 3] raw meters; pillar_coords
+    [N, 2] (y, x); slot [N] in the reference row-major layout.
+    """
+    rz, ry, rx = ratio
+    vx, vy, vz = voxel.voxel_size
+    r = voxel.point_cloud_range
+    sz = slot // (ry * rx)
+    sy = (slot // rx) % ry
+    sx = slot % rx
+    coor = jnp.stack([sz.astype(jnp.float32),
+                      (pillar_coords[:, 0] * ry + sy).astype(jnp.float32),
+                      (pillar_coords[:, 1] * rx + sx).astype(jnp.float32)],
+                     -1)
+    size = jnp.array([vz / rz, vy / ry, vx / rx], jnp.float32)
+    origin = jnp.array([r[2], r[1], r[0]], jnp.float32)
+    return (cent_zyx - (coor * size + origin)) / size
 
 
 # ---------------------------------------------------------------------------
@@ -59,113 +122,89 @@ class GeoMAETargets(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _slot_coords(coords, slot, ratio):
-    """Integer sub-voxel coords (z, y, x) from pillar coords + slot index."""
-    rz, ry, rx = ratio
-    sz = slot // (ry * rx)
-    sy = (slot // rx) % ry
-    sx = slot % rx
-    z = sz  # single-z pillar grid: pillar z == 0
-    y = coords[..., 0:1] * ry + sy
-    x = coords[..., 1:2] * rx + sx
-    return z, y, x
-
-
-def _normalize_sub_voxel(cent_zyx, coords, ratio, voxel, level_size_zyx):
-    """(c - (coor * size + origin)) / size per sub-voxel
-    (``normalize_centroid_sub_voxel``, ``..._ssl.py:626-641``)."""
-    V, S = cent_zyx.shape[0], cent_zyx.shape[1]
-    slot = jnp.arange(S, dtype=jnp.int32)[None, :]
-    z, y, x = _slot_coords(coords, slot, ratio)
-    coor = jnp.stack(jnp.broadcast_arrays(
-        z.astype(jnp.float32), y.astype(jnp.float32),
-        x.astype(jnp.float32)), axis=-1)  # [V, S, 3] zyx
-    r = voxel.point_cloud_range
-    origin = jnp.array([r[2], r[1], r[0]], jnp.float32)
-    size = jnp.asarray(level_size_zyx, jnp.float32)
-    return (cent_zyx - (coor * size + origin)) / size
-
-
 def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
-    """Pure target computation for one sample (vmap over batch).
-
-    One SORTED segment-sum produces the low-resolution per-slot (z, y, x)
-    sums + counts; the med and top sums derive by reshape-reductions (a med
-    sub-voxel is exactly a 2x2x2 block of low sub-voxels, and the pillar is
-    all of them) — so the reference's three voxelize+unique+scatter passes
-    (``..._ssl.py:173-187``) collapse into one segmented scan.
-    """
+    """Pure target computation for one sample (vmap over batch)."""
     table = scene.table
     voxel = cfg.voxel
     ny, nx = voxel.grid_size
     v_cap = table.valid.shape[0]
     s_low, s_med = voxel.num_slots_low, voxel.num_slots_med
-    rz, ry, rx = voxel.sub_voxel_ratio_low
-    mz, my, mx = voxel.sub_voxel_ratio_med
     p2v = table.point2voxel
+    valid = scene.valid & (p2v < v_cap)
+    P = valid.shape[0]
+
     zyx = scene.points[:, :3][:, ::-1].astype(jnp.float32)
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    mu = jnp.sum(jnp.where(valid[:, None], zyx, 0), 0) / nvalid
+    vals4 = jnp.concatenate(
+        [jnp.where(valid[:, None], zyx - mu, 0),
+         valid[:, None].astype(jnp.float32)], -1)
 
-    seg_low = p2v * s_low + scene.slot_low
-    seg_low = jnp.where(p2v < v_cap, seg_low, v_cap * s_low)
-    # center coordinates on their global mean so the cumsum inside the
-    # sorted segment-sum stays a bounded random walk (fp32 precision)
-    nvalid = jnp.maximum(jnp.sum(scene.valid), 1)
-    mu = jnp.sum(jnp.where(scene.valid[:, None], zyx, 0), 0) / nvalid
-    zyx_c = zyx - mu
-    sums4 = scatter.segment_sum(
-        jnp.concatenate([zyx_c, jnp.ones_like(zyx[:, :1])], -1),
-        seg_low, v_cap * s_low, scene.valid, sorted_ids=True)
-    sums4 = sums4.reshape(v_cap, s_low, 4)
+    key_low = p2v * s_low + scene.slot_sort
+    key_med = p2v * s_med + scene.slot_med
+    first_low, last_low = _seg_boundaries(key_low, valid)
+    first_med, last_med = _seg_boundaries(key_med, valid)
+    first_top, last_top = _seg_boundaries(p2v, valid)
 
-    # low slot layout is (sz, sy, sx) row-major; med slot = components // 2
-    fz, fy, fx = rz // mz, ry // my, rx // mx
-    med4 = sums4.reshape(v_cap, mz, fz, my, fy, mx, fx, 4).sum((2, 4, 6))
-    med4 = med4.reshape(v_cap, s_med, 4)
-    top4 = sums4.sum(1)
+    scan_low = _seg_cumsum(first_low, vals4)
+    scan_med = _seg_cumsum(first_med, vals4)
+    scan_top = _seg_cumsum(first_top, vals4)
 
-    def _finish(s4):
-        cnt = s4[..., 3]
-        mean = s4[..., :3] / jnp.maximum(cnt, 1.0)[..., None] + mu
-        return jnp.where((cnt > 0)[..., None], mean, 0.0), cnt > 0
+    pillar_coords_pt = scatter.gather_rows(table.coords, p2v)  # [P, 2]
 
-    c_low, occ_low = _finish(sums4)
-    c_med, occ_med = _finish(med4)
-    c_top, _ = _finish(top4)
+    def _centroid(scan, slot, ratio):
+        cnt = jnp.maximum(scan[:, 3], 1.0)
+        raw = scan[:, :3] / cnt[:, None] + mu
+        return raw, _normalize_sub(raw, pillar_coords_pt, slot, ratio, voxel)
 
-    # ---- normals & curvature from RAW (unnormalized) med centroids --------
+    _, low_norm = _centroid(scan_low, scene.slot_low,
+                            voxel.sub_voxel_ratio_low)
+    med_raw, med_norm = _centroid(scan_med, scene.slot_med,
+                                  voxel.sub_voxel_ratio_med)
+    top_raw_pt, top_norm_pt = _centroid(
+        scan_top, jnp.zeros_like(p2v), (1, 1, 1))
+
+    # ---- dense per-pillar tables (V-scale, gathers only) -------------------
+    ends_v = _segment_bounds(p2v, v_cap)                     # [V]
+    starts_v = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_v[:-1]])
+    occ_v = ends_v > starts_v
+    lastpos_v = jnp.maximum(ends_v - 1, 0)
+    top_raw = jnp.where(occ_v[:, None], top_raw_pt[lastpos_v], 0.0)
+    c_top = jnp.where(occ_v[:, None], top_norm_pt[lastpos_v], 0.0)
+
+    ends_m = _segment_bounds(key_med, v_cap * s_med)         # [V*16]
+    starts_m = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_m[:-1]])
+    occ_med = (ends_m > starts_m).reshape(v_cap, s_med)
+    lastpos_m = jnp.maximum(ends_m - 1, 0)
+    med_table = jnp.where((ends_m > starts_m)[:, None],
+                          med_raw[lastpos_m], 0.0)
+    med_table = med_table.reshape(v_cap, s_med, 3)
+    # NOTE: med_table rows are in slot_MED layout by construction of key_med
+
+    # ---- normals & curvature from RAW med centroids ------------------------
     nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
     med_nbr = scatter.gather_rows(
-        c_med.reshape(v_cap, s_med * 3), nbr.reshape(-1)).reshape(
+        med_table.reshape(v_cap, s_med * 3), nbr.reshape(-1)).reshape(
         v_cap, 9, s_med, 3)
     occ_nbr = scatter.gather_rows(
         occ_med.astype(jnp.float32), nbr.reshape(-1)).reshape(
         v_cap, 9, s_med) > 0
-    X = jnp.where(occ_nbr[..., None], med_nbr - c_top[:, None, None, :], 0.0)
+    X = jnp.where(occ_nbr[..., None], med_nbr - top_raw[:, None, None, :],
+                  0.0)
     X = X.reshape(v_cap, 9 * s_med, 3)
     cov = jnp.einsum("vki,vkj->vij", X, X)
     normal, curv = normal_and_curvature(cov)
 
-    # ---- normalization into per-sub-voxel local frames --------------------
-    vx, vy, vz = voxel.voxel_size
-    rz, ry, rx = voxel.sub_voxel_ratio_low
-    mz, my, mx = voxel.sub_voxel_ratio_med
-    c_low = _normalize_sub_voxel(c_low, table.coords, (rz, ry, rx), voxel,
-                                 (vz / rz, vy / ry, vx / rx))
-    c_med = _normalize_sub_voxel(c_med, table.coords, (mz, my, mx), voxel,
-                                 (vz / mz, vy / my, vx / mx))
-    c_top = _normalize_sub_voxel(c_top[:, None, :], table.coords, (1, 1, 1),
-                                 voxel, (vz, vy, vx))[:, 0, :]
-
-    c_low = jnp.where(occ_low[..., None], c_low, 0.0)
-    c_med = jnp.where(occ_med[..., None], c_med, 0.0)
     vmask = table.valid
-    c_top = jnp.where(vmask[:, None], c_top, 0.0)
-    normal = jnp.where(vmask[:, None], normal, 0.0)
-    curv = jnp.where(vmask[:, None], curv, 0.0)
-
-    return GeoMAETargets(centroid_low=c_low, occ_low=occ_low,
-                         centroid_med=c_med, occ_med=occ_med,
-                         centroid_top=c_top, normal=normal, curv=curv)
+    return GeoMAETargets(
+        low_last=last_low,
+        low_centroid=jnp.where(last_low[:, None], low_norm, 0.0),
+        med_last=last_med,
+        med_centroid=jnp.where(last_med[:, None], med_norm, 0.0),
+        centroid_top=c_top,
+        normal=jnp.where(vmask[:, None], normal, 0.0),
+        curv=jnp.where(vmask[:, None], curv, 0.0),
+    )
 
 
 def compute_targets_batch(scene: Scene, cfg: PretrainConfig):
@@ -247,10 +286,11 @@ def compact_visible(keep: jnp.ndarray, vis_cap: int):
 class GeoMAE(nn.Module):
     """VFE + SST encoder over visible pillars + two-branch SST decoder.
 
-    ``__call__`` returns full-[B, V] predictions; the loss selects masked
-    rows.  Heads mirror the reference (backbone ``:117-130``):
-    ``decoder_pred_{low,med,top}`` (centroids), ``decoder_pred_density_top``
-    (normal; config ``top=True`` only), ``cls_pred_{low,med}`` (occupancy).
+    ``__call__`` returns full-[B, V] dense predictions; the loss gathers
+    them at occupied sub-voxel segments.  Heads mirror the reference
+    (backbone ``:117-130``): ``decoder_pred_{low,med,top}`` (centroids),
+    ``decoder_pred_density_top`` (normal; config ``top=True`` only),
+    ``cls_pred_{low,med}`` (occupancy).
     """
 
     cfg: PretrainConfig
@@ -273,7 +313,7 @@ class GeoMAE(nn.Module):
             lambda k: compact_visible(k, vis_cap))(keep)
         take = lambda x: jnp.take_along_axis(
             x, vis_idx.reshape(B, vis_cap, *([1] * (x.ndim - 2))), axis=1)
-        vis_feats = jnp.where(vis_valid[..., None], take(voxel_feats), 0.0)
+        vis_feats = jnp.where(vis_valid[..., None], take(voxel_feats), 0)
         vis_coords = take(table.coords)
 
         enc_layouts = make_layouts(vis_coords, vis_valid, cfg.sst, cfg.voxel)
@@ -286,18 +326,20 @@ class GeoMAE(nn.Module):
         x = SSTStack(cfg.sst, cfg.mae.encoder_blocks, dtype,
                      name="encoder")(x, enc_data)
 
-        # scatter encoder outputs back to table rows
-        def _scatter(xs, idx, ok):
-            tgt = jnp.zeros((V, C), xs.dtype)
-            return tgt.at[jnp.where(ok, idx, V)].set(xs, mode="drop")
-        enc_full = jax.vmap(_scatter)(x, vis_idx, vis_valid)
+        # gather encoder outputs back to table rows (scatter-free: each row
+        # looks up its position in the visible list via the keep prefix-sum)
+        vis_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        ok = keep & (vis_rank < vis_cap)
+        enc_full = jnp.take_along_axis(
+            x, jnp.clip(vis_rank, 0, vis_cap - 1)[..., None], axis=1)
+        enc_full = jnp.where(ok[..., None], enc_full, 0)
 
         # ---- decoder over all (visible ∪ masked) pillars -------------------
         mask_token = self.param("mask_token",
                                 nn.initializers.xavier_uniform(), (1, C))
         dec_in = jnp.where(keep[..., None], enc_full,
                            mask_token.astype(dtype))
-        dec_in = jnp.where(table.valid[..., None], dec_in, 0.0)
+        dec_in = jnp.where(table.valid[..., None], dec_in, 0)
 
         dec_layouts = make_layouts(table.coords, table.valid, cfg.sst,
                                    cfg.voxel)
@@ -337,60 +379,92 @@ class GeoMAE(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _masked_mean(x, mask):
-    num = jnp.sum(jnp.where(mask, x, 0.0))
-    den = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
-    return num / den
-
-
 def _bce_with_logits(logits, target):
     """Elementwise binary cross-entropy with logits (stable)."""
     return jnp.maximum(logits, 0) - logits * target + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
 
 
-def pretrain_loss(preds: dict, targets: GeoMAETargets, valid: jnp.ndarray,
+def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
                   keep: jnp.ndarray, cfg: PretrainConfig) -> dict:
     """Masked multi-term loss (``forward_loss``, ``..._ssl.py:838-902``).
 
     * centroid MSE per sub-voxel (mean over 3 dims, mean over masked &
-      occupied slots) at low/med/top, weights 10/8/10;
+      occupied sub-voxels) at low/med/top, weights 10/8/10 — computed by
+      gathering the dense predictions at each occupied segment;
     * normal MSE on masked pillars, weight 4 (logged as ``loss_curv_around``
       to match the reference's misleading key);
-    * occupancy BCE over 2 logits vs one-hot at low/med, weights 5/2,
-      mean over every element of masked rows (mmdet ``CrossEntropyLoss
-      (use_sigmoid=True)`` semantics).
+    * occupancy BCE over 2 logits vs one-hot at low/med, weights 5/2, mean
+      over every element of masked rows (mmdet ``CrossEntropyLoss
+      (use_sigmoid=True)`` semantics) — dense all-negative term + sparse
+      correction at occupied slots (exactly equal to the dense form).
     """
     m = cfg.mae
-    mask_rows = valid & ~keep                       # masked real pillars
+    table = scene.table
+    B, V = keep.shape
+    valid_rows = table.valid
+    mask_rows = valid_rows & ~keep                   # [B, V] masked pillars
+    p2v = table.point2voxel                          # [B, P]
+    in_cap = p2v < V
+    p2v_safe = jnp.clip(p2v, 0, V - 1)
+    pt_masked = jnp.take_along_axis(mask_rows, p2v_safe, axis=1) \
+        & in_cap & scene.valid                       # [B, P]
 
     f32 = lambda x: x.astype(jnp.float32)
 
-    def _reg(pred, tgt, sel):
-        err = jnp.mean(jnp.square(f32(pred) - f32(tgt)), axis=-1)
-        return _masked_mean(err, sel)
+    def _sparse_reg(pred, slot, s_num, seg_last, centroid):
+        flat = f32(pred).reshape(B, V * s_num, 3)
+        idx = p2v_safe * s_num + slot
+        pred_pt = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        err = jnp.mean(jnp.square(pred_pt - f32(centroid)), axis=-1)
+        sel = seg_last & pt_masked
+        cnt = jnp.maximum(jnp.sum(sel), 1)
+        return jnp.sum(jnp.where(sel, err, 0)) / cnt
 
-    sel_low = mask_rows[..., None] & targets.occ_low
-    sel_med = mask_rows[..., None] & targets.occ_med
+    def _dense_reg(pred, tgt, sel):
+        err = jnp.mean(jnp.square(f32(pred) - f32(tgt)), axis=-1)
+        cnt = jnp.maximum(jnp.sum(sel), 1)
+        return jnp.sum(jnp.where(sel, err, 0)) / cnt
+
     losses = dict(
-        loss_centroid_low=_reg(preds["reg_low"], targets.centroid_low,
-                               sel_low) * m.loss_ratio_low,
-        loss_centroid_med=_reg(preds["reg_med"], targets.centroid_med,
-                               sel_med) * m.loss_ratio_med,
-        loss_centroid_top=_reg(preds["reg_top"], targets.centroid_top,
-                               mask_rows) * m.loss_ratio_top,
-        loss_curv_around=_reg(preds["nor_top"], targets.normal,
-                              mask_rows) * m.loss_ratio_nor,
+        loss_centroid_low=_sparse_reg(
+            preds["reg_low"], scene.slot_low, cfg.voxel.num_slots_low,
+            targets.low_last, targets.low_centroid) * m.loss_ratio_low,
+        loss_centroid_med=_sparse_reg(
+            preds["reg_med"], scene.slot_med, cfg.voxel.num_slots_med,
+            targets.med_last, targets.med_centroid) * m.loss_ratio_med,
+        loss_centroid_top=_dense_reg(preds["reg_top"], targets.centroid_top,
+                                     mask_rows) * m.loss_ratio_top,
+        loss_curv_around=_dense_reg(preds["nor_top"], targets.normal,
+                                    mask_rows) * m.loss_ratio_nor,
     )
+
     if m.cls_sub_voxel:
-        def _cls(logits, occ):
-            onehot = jnp.stack([1.0 - f32(occ), f32(occ)], axis=-1)
-            bce = _bce_with_logits(f32(logits), onehot)
-            sel = jnp.broadcast_to(mask_rows[..., None, None], bce.shape)
-            return _masked_mean(bce, sel)
-        losses["loss_cls_low"] = _cls(preds["cls_low"], targets.occ_low) \
-            * m.cls_loss_ratio_low
-        losses["loss_cls_med"] = _cls(preds["cls_med"], targets.occ_med) \
-            * m.cls_loss_ratio_med
+        def _cls(logits, slot, s_num, seg_last):
+            lg = f32(logits)                          # [B, V, S, 2]
+            # dense term: every slot of masked rows as if unoccupied
+            # (targets one-hot [1, 0])
+            base = _bce_with_logits(lg[..., 0], 1.0) \
+                + _bce_with_logits(lg[..., 1], 0.0)
+            base = jnp.sum(jnp.where(mask_rows[..., None], base, 0))
+            # sparse correction at occupied slots: swap target to [0, 1]
+            flat = lg.reshape(B, V * s_num, 2)
+            idx = p2v_safe * s_num + slot
+            lg_pt = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            delta = (_bce_with_logits(lg_pt[..., 0], 0.0)
+                     + _bce_with_logits(lg_pt[..., 1], 1.0)) \
+                - (_bce_with_logits(lg_pt[..., 0], 1.0)
+                   + _bce_with_logits(lg_pt[..., 1], 0.0))
+            sel = seg_last & pt_masked
+            corr = jnp.sum(jnp.where(sel, delta, 0))
+            denom = jnp.maximum(jnp.sum(mask_rows) * s_num * 2, 1)
+            return (base + corr) / denom
+
+        losses["loss_cls_low"] = _cls(
+            preds["cls_low"], scene.slot_low, cfg.voxel.num_slots_low,
+            targets.low_last) * m.cls_loss_ratio_low
+        losses["loss_cls_med"] = _cls(
+            preds["cls_med"], scene.slot_med, cfg.voxel.num_slots_med,
+            targets.med_last) * m.cls_loss_ratio_med
     losses["loss"] = sum(losses.values())
     return losses

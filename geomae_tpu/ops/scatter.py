@@ -38,7 +38,10 @@ def _segment_bounds(ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     for unique indices, so everything here avoids them.
     """
     q = jnp.arange(num_segments, dtype=ids.dtype)
-    return jnp.searchsorted(ids, q, side="right").astype(jnp.int32)
+    # method='sort' ranks queries with ONE extra sort — cheap on TPU, unlike
+    # the default binary-search lowering (a gather per bit, ~100x slower)
+    return jnp.searchsorted(ids, q, side="right",
+                            method="sort").astype(jnp.int32)
 
 
 def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,

@@ -68,6 +68,9 @@ class Scene(NamedTuple):
                 resolution, ``(z%rz)*ry*rx + (y%ry)*rx + (x%rx)``
                 (reference target-layout hash, ``..._ssl.py:699-716``).
       slot_med: int32 [P] — same at the med resolution.
+      slot_sort: int32 [P] — med-major bijective relabeling of slot_low;
+                the canonical order sorts by (pillar, slot_sort), making
+                low/med/pillar segments contiguous.
     """
 
     points: jnp.ndarray
@@ -75,6 +78,7 @@ class Scene(NamedTuple):
     table: VoxelTable
     slot_low: jnp.ndarray
     slot_med: jnp.ndarray
+    slot_sort: jnp.ndarray
 
 
 def low_voxel_coords(points_xyz: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
@@ -92,7 +96,15 @@ def low_voxel_coords(points_xyz: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
 
 
 def sub_voxel_slots(low_coords: jnp.ndarray, cfg: VoxelConfig):
-    """(slot_low, slot_med) int32 [P] from low-resolution integer coords."""
+    """(slot_low, slot_med, slot_sort) int32 [P] from low integer coords.
+
+    ``slot_low``/``slot_med`` follow the reference's row-major layout hash
+    (``..._ssl.py:699-716``).  ``slot_sort`` is a bijective reordering of
+    ``slot_low`` with the med-slot bits in the high positions, so that a
+    sort by (pillar, slot_sort) leaves low-, med- AND pillar-level segments
+    all contiguous — which lets every centroid reduction run as a
+    point-space segmented scan.
+    """
     lz, ly, lx = low_coords[:, 0], low_coords[:, 1], low_coords[:, 2]
     rz, ry, rx = cfg.sub_voxel_ratio_low
     mz, my, mx = cfg.sub_voxel_ratio_med
@@ -100,7 +112,11 @@ def sub_voxel_slots(low_coords: jnp.ndarray, cfg: VoxelConfig):
     fz, fy, fx = rz // mz, ry // my, rx // mx
     cz, cy, cx = lz // fz, ly // fy, lx // fx
     slot_med = (cz % mz) * (my * mx) + (cy % my) * mx + (cx % mx)
-    return slot_low.astype(jnp.int32), slot_med.astype(jnp.int32)
+    intra = ((lz % rz) % fz) * (fy * fx) + ((ly % ry) % fy) * fx \
+        + ((lx % rx) % fx)
+    slot_sort = slot_med * (fz * fy * fx) + intra
+    return (slot_low.astype(jnp.int32), slot_med.astype(jnp.int32),
+            slot_sort.astype(jnp.int32))
 
 
 def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
@@ -118,9 +134,9 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
     low = low_voxel_coords(points[:, :3], cfg)
     py = low[:, 1] // ry
     px = low[:, 2] // rx
-    slot_low, slot_med = sub_voxel_slots(low, cfg)
+    slot_low, slot_med, slot_sort = sub_voxel_slots(low, cfg)
     pillar_key = py * nx + px
-    key = pillar_key * s_low + slot_low
+    key = pillar_key * s_low + slot_sort
     key = jnp.where(point_valid, key, INT32_MAX)
 
     order = jnp.argsort(key)                      # THE one sort
@@ -135,11 +151,14 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
     in_cap = valid_s & (rank >= 0) & (rank < v_cap)
     p2v = jnp.where(in_cap, rank, v_cap)
 
-    row_keys = jnp.full((v_cap + 1,), INT32_MAX, jnp.int32)
-    row_keys = row_keys.at[jnp.where(first & in_cap, p2v, v_cap)].set(
-        pk_s, mode="drop")
-    row_keys = row_keys[:v_cap]
-    tvalid = row_keys != INT32_MAX
+    # row -> pillar key via segment-start gathers (p2v is ascending; a
+    # scatter here would trigger XLA's sort-based TPU lowering)
+    ends = jnp.searchsorted(p2v, jnp.arange(v_cap, dtype=jnp.int32),
+                            side="right", method="sort").astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    tvalid = ends > starts
+    row_keys = jnp.where(tvalid, pk_s[jnp.minimum(starts, pk_s.shape[0] - 1)],
+                         INT32_MAX)
     safe = jnp.where(tvalid, row_keys, 0)
     coords = jnp.stack([safe // nx, safe % nx], axis=-1)
 
@@ -147,7 +166,7 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
                        point2voxel=p2v)
     return Scene(points=points[order], valid=point_valid[order] & valid_s,
                  table=table, slot_low=slot_low[order],
-                 slot_med=slot_med[order])
+                 slot_med=slot_med[order], slot_sort=slot_sort[order])
 
 
 def build_scene_batch(points: jnp.ndarray, point_valid: jnp.ndarray,
@@ -165,7 +184,7 @@ def scene_from_arrays(batch) -> Scene:
                        point2voxel=batch["p2v"])
     return Scene(points=batch["points"], valid=batch["point_valid"],
                  table=table, slot_low=batch["slot_low"],
-                 slot_med=batch["slot_med"])
+                 slot_med=batch["slot_med"], slot_sort=batch["slot_sort"])
 
 
 def hard_voxelize(scene: Scene, max_points: int):
@@ -197,22 +216,24 @@ def hard_voxelize(scene: Scene, max_points: int):
     return voxels, jnp.minimum(counts, max_points)
 
 
-def dense_hash(coords: jnp.ndarray, valid: jnp.ndarray, ny: int, nx: int,
-               v_cap: int) -> jnp.ndarray:
-    """Dense (y, x) -> pillar-row lookup table for one sample.
+def lookup_rows(coords: jnp.ndarray, valid: jnp.ndarray, ny: int, nx: int,
+                query_keys: jnp.ndarray,
+                query_ok: jnp.ndarray) -> jnp.ndarray:
+    """Pillar-row lookup by linear (y, x) key via binary search.
 
-    int32 [ny * nx]; empty cells hold ``v_cap`` (trash row), so a gather
-    through this table composes with :func:`gather_rows`.  Replaces both the
-    reference's ``b*grid`` hash tables (``..._ssl.py:691-694``) and the
-    spconv ``get_indice_pairs_implicit_gemm`` 3x3 neighbor machinery
-    (``..._ssl.py:192-207``) — neighbors become 9 shifted lookups.
+    Pillar rows are canonically key-sorted, so membership is a sorted
+    search (one cheap sort via ``method='sort'``) — replacing both the
+    reference's dense ``b*grid`` hash tables (``..._ssl.py:691-694``) and
+    an XLA scatter (which lowers ~50x slower than a sort on TPU).
+    Returns int32 rows shaped like ``query_keys``; misses -> ``v_cap``.
     """
-    table = jnp.full((ny * nx + 1,), v_cap, jnp.int32)
-    key = coords[:, 0] * nx + coords[:, 1]
-    key = jnp.where(valid, key, ny * nx)
-    rows = jnp.arange(coords.shape[0], dtype=jnp.int32)
-    table = table.at[key].set(jnp.where(valid, rows, v_cap), mode="drop")
-    return table[: ny * nx]
+    v_cap = coords.shape[0]
+    key = jnp.where(valid, coords[:, 0] * nx + coords[:, 1], INT32_MAX)
+    q = query_keys.reshape(-1)
+    pos = jnp.searchsorted(key, q, side="left", method="sort")
+    pos = jnp.minimum(pos, v_cap - 1).astype(jnp.int32)
+    hit = (key[pos] == q) & query_ok.reshape(-1)
+    return jnp.where(hit, pos, v_cap).reshape(query_keys.shape)
 
 
 def neighbor_rows(coords: jnp.ndarray, valid: jnp.ndarray, ny: int, nx: int,
@@ -220,15 +241,17 @@ def neighbor_rows(coords: jnp.ndarray, valid: jnp.ndarray, ny: int, nx: int,
     """3x3 neighborhood pillar rows, int32 [V, 9]; missing -> ``v_cap``.
 
     Neighbor order is row-major over (dy, dx) in {-1, 0, 1}², matching a
-    [1, 3, 3] subm conv kernel's taps.
+    [1, 3, 3] subm conv kernel's taps (the spconv
+    ``get_indice_pairs_implicit_gemm`` replacement, ``..._ssl.py:192-207``).
     """
-    table = dense_hash(coords, valid, ny, nx, v_cap)
-    out = []
     y, x = coords[:, 0], coords[:, 1]
+    keys, oks = [], []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             yy, xx = y + dy, x + dx
             ok = valid & (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx)
-            k = jnp.clip(yy, 0, ny - 1) * nx + jnp.clip(xx, 0, nx - 1)
-            out.append(jnp.where(ok, table[k], v_cap))
-    return jnp.stack(out, axis=-1)
+            keys.append(jnp.clip(yy, 0, ny - 1) * nx
+                        + jnp.clip(xx, 0, nx - 1))
+            oks.append(ok)
+    return lookup_rows(coords, valid, ny, nx,
+                       jnp.stack(keys, -1), jnp.stack(oks, -1))

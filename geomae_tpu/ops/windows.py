@@ -78,8 +78,9 @@ def make_layout(coords: jnp.ndarray, valid: jnp.ndarray,
     """Build the sorted band layout for one sample and one shift."""
     win, ciw = window_ids(coords, valid, shift, sst, voxel)
     perm = jnp.argsort(win, stable=True).astype(jnp.int32)
-    inv_perm = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    # inverse of a permutation == argsort of it (scatter-free: XLA TPU
+    # scatters cost ~50x a sort)
+    inv_perm = jnp.argsort(perm).astype(jnp.int32)
     return WindowLayout(perm=perm, inv_perm=inv_perm, win_id=win[perm],
                         coors_in_win=ciw)
 

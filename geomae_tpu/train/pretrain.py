@@ -65,7 +65,7 @@ def forward(cfg: PretrainConfig, variables, batch, rng, train: bool):
     else:
         preds = model.apply(variables, scene, keep, train=False)
         new_stats = variables["batch_stats"]
-    losses = pretrain_loss(preds, targets, scene.table.valid, keep, cfg)
+    losses = pretrain_loss(preds, targets, scene, keep, cfg)
     return losses, new_stats
 
 

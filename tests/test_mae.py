@@ -1,4 +1,5 @@
-"""GeoMAE model: shapes, target semantics, loss finiteness, grad flow."""
+"""GeoMAE model: target semantics (vs dense numpy oracle), loss
+equivalence, finiteness, grad flow."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,69 +37,149 @@ def test_sample_mask_ratio(cfg, setup):
         assert keep[b].sum() == want
 
 
-def test_targets_centroid_oracle(cfg, setup):
-    """Low/med/top centroid targets match per-slot means in local frames."""
+def dense_oracle(scene_b, cfg, b):
+    """Dense numpy targets (the reference's layout) for sample b."""
+    voxel = cfg.voxel
+    pts = np.asarray(scene_b.points)[b, :, :3]
+    pv = np.asarray(scene_b.valid)[b]
+    p2v = np.asarray(scene_b.table.point2voxel)[b]
+    sl = np.asarray(scene_b.slot_low)[b]
+    sm = np.asarray(scene_b.slot_med)[b]
+    coords = np.asarray(scene_b.table.coords)[b]
+    V = coords.shape[0]
+    S, M = voxel.num_slots_low, voxel.num_slots_med
+    rz, ry, rx = voxel.sub_voxel_ratio_low
+    mz, my, mx = voxel.sub_voxel_ratio_med
+    vx, vy, vz = voxel.voxel_size
+    r = voxel.point_cloud_range
+    origin = np.array([r[2], r[1], r[0]])
+
+    def norm(c, v, s, ratio, sizes):
+        rz_, ry_, rx_ = ratio
+        coor = np.array([s // (ry_ * rx_),
+                         coords[v, 0] * ry_ + (s // rx_) % ry_,
+                         coords[v, 1] * rx_ + s % rx_])
+        return (c - (coor * np.asarray(sizes) + origin)) / np.asarray(sizes)
+
+    c_low = np.zeros((V, S, 3))
+    occ_low = np.zeros((V, S), bool)
+    c_med = np.zeros((V, M, 3))
+    occ_med = np.zeros((V, M), bool)
+    c_top = np.zeros((V, 3))
+    ok = pv & (p2v < V)
+    for v in np.unique(p2v[ok]):
+        selv = ok & (p2v == v)
+        c_top[v] = norm(pts[selv][:, ::-1].mean(0), v, 0, (1, 1, 1),
+                        (vz, vy, vx))
+        for s in np.unique(sl[selv]):
+            sel = selv & (sl == s)
+            occ_low[v, s] = True
+            c_low[v, s] = norm(pts[sel][:, ::-1].mean(0), v, s, (rz, ry, rx),
+                               (vz / rz, vy / ry, vx / rx))
+        for s in np.unique(sm[selv]):
+            sel = selv & (sm == s)
+            occ_med[v, s] = True
+            c_med[v, s] = norm(pts[sel][:, ::-1].mean(0), v, s, (mz, my, mx),
+                               (vz / mz, vy / my, vx / mx))
+    return c_low, occ_low, c_med, occ_med, c_top
+
+
+def test_sparse_targets_match_dense_oracle(cfg, setup):
     _, scene = setup
     tg = mae.compute_targets_batch(scene, cfg)
     b = 0
-    pts = np.asarray(scene.points)[b, :, :3]
-    pv = np.asarray(scene.valid)[b]
+    c_low, occ_low, c_med, occ_med, c_top = dense_oracle(scene, cfg, b)
+
     p2v = np.asarray(scene.table.point2voxel)[b]
     sl = np.asarray(scene.slot_low)[b]
     sm = np.asarray(scene.slot_med)[b]
-    coords = np.asarray(scene.table.coords)[b]
-    voxel = cfg.voxel
-    rz, ry, rx = voxel.sub_voxel_ratio_low
-    mzr, myr, mxr = voxel.sub_voxel_ratio_med
-    vx, vy, vz = voxel.voxel_size
-    r = voxel.point_cloud_range
-    V = coords.shape[0]
+    ll = np.asarray(tg.low_last)[b]
+    lc = np.asarray(tg.low_centroid)[b]
+    ml = np.asarray(tg.med_last)[b]
+    mc = np.asarray(tg.med_centroid)[b]
 
-    got_c = np.asarray(tg.centroid_low)[b]
-    got_o = np.asarray(tg.occ_low)[b]
-    got_cm = np.asarray(tg.centroid_med)[b]
-    got_om = np.asarray(tg.occ_med)[b]
-    got_ct = np.asarray(tg.centroid_top)[b]
+    # one last-row per occupied (v, slot); centroid matches oracle
+    seen = set()
+    for i in np.where(ll)[0]:
+        key = (int(p2v[i]), int(sl[i]))
+        assert key not in seen
+        seen.add(key)
+        assert occ_low[key]
+        np.testing.assert_allclose(lc[i], c_low[key], rtol=3e-3, atol=3e-3)
+    assert len(seen) == occ_low.sum()
 
-    rs = np.random.default_rng(0)
-    checked = 0
-    for i in rs.choice(len(pts), 400, replace=False):
-        if not pv[i] or p2v[i] >= V:
-            continue
-        v, s = p2v[i], sl[i]
-        sel = pv & (p2v == v) & (sl == s)
-        assert got_o[v, s]
-        cent = pts[sel][:, ::-1].mean(0)  # (z, y, x)
-        size = np.array([vz / rz, vy / ry, vx / rx])
-        origin = np.array([r[2], r[1], r[0]])
-        coor = np.array([s // (ry * rx),
-                         coords[v, 0] * ry + (s // rx) % ry,
-                         coords[v, 1] * rx + s % rx])
-        want = (cent - (coor * size + origin)) / size
-        np.testing.assert_allclose(got_c[v, s], want, rtol=3e-3, atol=3e-3)
-        assert np.all(want >= -1e-3) and np.all(want <= 1 + 1e-3)
+    seen = set()
+    for i in np.where(ml)[0]:
+        key = (int(p2v[i]), int(sm[i]))
+        assert key not in seen
+        seen.add(key)
+        assert occ_med[key]
+        np.testing.assert_allclose(mc[i], c_med[key], rtol=3e-3, atol=3e-3)
+    assert len(seen) == occ_med.sum()
 
-        # med slot of the same point
-        m = sm[i]
-        selm = pv & (p2v == v) & (sm == m)
-        assert got_om[v, m]
-        centm = pts[selm][:, ::-1].mean(0)
-        sizem = np.array([vz / mzr, vy / myr, vx / mxr])
-        coorm = np.array([m // (myr * mxr),
-                          coords[v, 0] * myr + (m // mxr) % myr,
-                          coords[v, 1] * mxr + m % mxr])
-        wantm = (centm - (coorm * sizem + origin)) / sizem
-        np.testing.assert_allclose(got_cm[v, m], wantm, rtol=3e-3, atol=3e-3)
+    got_top = np.asarray(tg.centroid_top)[b]
+    tvalid = np.asarray(scene.table.valid)[b]
+    np.testing.assert_allclose(got_top[tvalid], c_top[tvalid], rtol=3e-3,
+                               atol=3e-3)
 
-        # top centroid
-        selt = pv & (p2v == v)
-        centt = pts[selt][:, ::-1].mean(0)
-        sizet = np.array([vz, vy, vx])
-        coort = np.array([0, coords[v, 0], coords[v, 1]])
-        wantt = (centt - (coort * sizet + origin)) / sizet
-        np.testing.assert_allclose(got_ct[v], wantt, rtol=3e-3, atol=3e-3)
-        checked += 1
-    assert checked > 50
+
+def test_sparse_loss_equals_dense_oracle(cfg, setup):
+    """pretrain_loss (sparse gathers) == dense masked means."""
+    _, scene = setup
+    tg = mae.compute_targets_batch(scene, cfg)
+    keep = mae.sample_mask(jax.random.PRNGKey(1), scene.table.valid,
+                           cfg.mae.random_mask_ratio)
+    B, V = keep.shape
+    S, M = cfg.voxel.num_slots_low, cfg.voxel.num_slots_med
+    rng = np.random.default_rng(0)
+    preds = dict(
+        reg_low=jnp.asarray(rng.normal(size=(B, V, S, 3)).astype(np.float32)),
+        reg_med=jnp.asarray(rng.normal(size=(B, V, M, 3)).astype(np.float32)),
+        reg_top=jnp.asarray(rng.normal(size=(B, V, 3)).astype(np.float32)),
+        nor_top=jnp.asarray(rng.normal(size=(B, V, 3)).astype(np.float32)),
+        cls_low=jnp.asarray(rng.normal(size=(B, V, S, 2)).astype(np.float32)),
+        cls_med=jnp.asarray(rng.normal(size=(B, V, M, 2)).astype(np.float32)),
+    )
+    losses = mae.pretrain_loss(preds, tg, scene, keep, cfg)
+
+    mask_rows = np.asarray(scene.table.valid) & ~np.asarray(keep)
+    tot = dict(low=[], med=[], cls_low=[], cls_med=[])
+    for b in range(B):
+        c_low, occ_low, c_med, occ_med, _ = dense_oracle(scene, cfg, b)
+        for name, (cd, od, pr, cl) in dict(
+            low=(c_low, occ_low, np.asarray(preds["reg_low"][b]),
+                 np.asarray(preds["cls_low"][b])),
+            med=(c_med, occ_med, np.asarray(preds["reg_med"][b]),
+                 np.asarray(preds["cls_med"][b])),
+        ).items():
+            sel = mask_rows[b][:, None] & od
+            err = ((pr - cd) ** 2).mean(-1)
+            tot[name].append((err[sel].sum(), sel.sum()))
+            onehot = np.stack([1 - od.astype(np.float32),
+                               od.astype(np.float32)], -1)
+            bce = np.maximum(cl, 0) - cl * onehot + np.log1p(
+                np.exp(-np.abs(cl)))
+            tot[f"cls_{name}"].append(
+                (bce[mask_rows[b]].sum(),
+                 mask_rows[b].sum() * bce.shape[1] * 2))
+
+    def ratio(key):
+        num = sum(t[0] for t in tot[key])
+        den = max(sum(t[1] for t in tot[key]), 1)
+        return num / den
+
+    np.testing.assert_allclose(float(losses["loss_centroid_low"]),
+                               ratio("low") * cfg.mae.loss_ratio_low,
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(losses["loss_centroid_med"]),
+                               ratio("med") * cfg.mae.loss_ratio_med,
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(losses["loss_cls_low"]),
+                               ratio("cls_low") * cfg.mae.cls_loss_ratio_low,
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(losses["loss_cls_med"]),
+                               ratio("cls_med") * cfg.mae.cls_loss_ratio_med,
+                               rtol=1e-3)
 
 
 def test_targets_normal_planar(cfg):
@@ -115,8 +196,7 @@ def test_targets_normal_planar(cfg):
     tg = mae.compute_targets_batch(scene, cfg)
     nrm = np.asarray(tg.normal)[0]
     v = np.asarray(scene.table.valid)[0]
-    # normal of a flat z-plane in (z, y, x) coords is (1, 0, 0)
-    cos = np.abs(nrm[v, 0])
+    cos = np.abs(nrm[v, 0])   # normal of a z-plane in (z, y, x) is (1, 0, 0)
     assert np.mean(cos > 0.99) > 0.95
 
 
@@ -145,4 +225,4 @@ def test_grad_flow(cfg):
     flat = jax.tree_util.tree_leaves(grads)
     norms = [float(jnp.linalg.norm(g)) for g in flat]
     assert all(np.isfinite(n) for n in norms)
-    assert sum(n > 0 for n in norms) > len(norms) * 0.9  # nearly all params touched
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9

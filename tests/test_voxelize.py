@@ -84,10 +84,14 @@ def test_build_scene_matches_bruteforce(rng):
     np.testing.assert_array_equal(np.asarray(sc.slot_med)[sval],
                                   want_sm[sval])
 
-    # within a pillar, slot_low ascending (sorted by pillar+slot key)
+    # within a pillar, slot_sort ascending (sorted by pillar+slot_sort key)
+    # and slot_sort is med-major: slot_med = slot_sort // 8 for (8,4,4)/(4,2,2)
+    ssort = np.asarray(sc.slot_sort)
+    smed = np.asarray(sc.slot_med)
     for v in range(n):
-        s = np.asarray(sc.slot_low)[(p2v == v) & sval]
+        s = ssort[(p2v == v) & sval]
         assert np.all(np.diff(s) >= 0)
+    np.testing.assert_array_equal(smed[sval], ssort[sval] // 8)
 
 
 def test_capacity_overflow(rng):
