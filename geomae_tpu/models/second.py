@@ -27,16 +27,23 @@ def recover_bev(voxel_feats: jnp.ndarray, coords: jnp.ndarray,
                 valid: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
     """[B, V, C] + (y, x) coords -> [B, ny, nx, C] canvas (zeros elsewhere).
 
-    Matches ``recover_bev`` (reference ``:230-266``) but batched via one
-    scatter instead of a per-sample python loop.
+    Matches ``recover_bev`` (reference ``:230-266``), formulated as a
+    per-cell GATHER through the key-sorted pillar table (binary search +
+    row gather) — XLA scatters sort on TPU and cost ~10x more.
     """
+    from ..ops.voxelize import lookup_rows
+
     B, V, C = voxel_feats.shape
+    cell_y, cell_x = jnp.divmod(jnp.arange(ny * nx, dtype=jnp.int32), nx)
+    cell_keys = (cell_y * nx + cell_x)
 
     def one(feats, cd, ok):
-        flat_idx = jnp.where(ok, cd[:, 0] * nx + cd[:, 1], ny * nx)
-        canvas = jnp.zeros((ny * nx + 1, C), feats.dtype)
-        canvas = canvas.at[flat_idx].set(feats, mode="drop")
-        return canvas[:-1].reshape(ny, nx, C)
+        rows = lookup_rows(cd, ok, ny, nx, cell_keys,
+                           jnp.ones_like(cell_keys, bool))
+        hit = rows < V
+        out = feats[jnp.minimum(rows, V - 1)]
+        out = jnp.where(hit[:, None], out, 0)
+        return out.reshape(ny, nx, C)
 
     return jax.vmap(one)(voxel_feats, coords, valid)
 

@@ -45,7 +45,7 @@ def test_simple_vfes(rng):
     spts = np.asarray(sc_b.points)[0]
     for v in range(int(sc_b.table.num_voxels[0])):
         np.testing.assert_allclose(mean[v], spts[p2v == v].mean(0),
-                                   rtol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
 
     sc = jax.tree_util.tree_map(lambda x: x[0], sc_b)
     voxels, n = vox.hard_voxelize(sc, 8)
