@@ -42,7 +42,7 @@ from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
 from ..ops.scatter import _segment_bounds
-from ..ops.voxelize import Scene, neighbor_rows
+from ..ops.voxelize import Scene, low_voxel_coords, neighbor_rows
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .sst import SSTStack, prepare_shift_data
 from .vfe import DynamicScatterVFE
@@ -150,7 +150,11 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
     scan_med = _seg_cumsum(first_med, vals4)
     scan_top = _seg_cumsum(first_top, vals4)
 
-    pillar_coords_pt = scatter.gather_rows(table.coords, p2v)  # [P, 2]
+    # per-point pillar coords recomputed elementwise (no gather)
+    low_pt = low_voxel_coords(scene.points[:, :3], voxel)
+    ry, rx = voxel.sub_voxel_ratio_low[1], voxel.sub_voxel_ratio_low[2]
+    pillar_coords_pt = jnp.stack([low_pt[:, 1] // ry, low_pt[:, 2] // rx],
+                                 -1)
 
     def _centroid(scan, slot, ratio):
         cnt = jnp.maximum(scan[:, 3], 1.0)

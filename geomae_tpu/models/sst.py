@@ -59,11 +59,19 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     return out
 
 
+def _is_tpu_backend() -> bool:
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return "tpu" in d.platform.lower() or "TPU" in getattr(
+        d, "device_kind", "")
+
+
 def _select_attention(impl: str):
     if impl == "einsum":
         return None
-    if impl == "pallas" or (impl == "auto"
-                            and jax.default_backend() == "tpu"):
+    if impl == "pallas" or (impl == "auto" and _is_tpu_backend()):
         from ..ops.pallas_attention import band_attention_pallas
         return band_attention_pallas
     return None

@@ -143,6 +143,12 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
     key_s = key[order]
     valid_s = key_s != INT32_MAX
     pk_s = jnp.where(valid_s, key_s // s_low, INT32_MAX)
+    points_s = points[order]                      # one row gather
+    # slots recomputed elementwise from the sorted points: cheaper than
+    # three scalar gathers through the permutation (TPU scalar gathers run
+    # at ~100M/s; elementwise VPU work is effectively free)
+    low_s = low_voxel_coords(points_s[:, :3], cfg)
+    slot_low_s, slot_med_s, slot_sort_s = sub_voxel_slots(low_s, cfg)
 
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pk_s[1:] != pk_s[:-1]]) & valid_s
@@ -164,9 +170,9 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
 
     table = VoxelTable(coords=coords, valid=tvalid, num_voxels=num_voxels,
                        point2voxel=p2v)
-    return Scene(points=points[order], valid=point_valid[order] & valid_s,
-                 table=table, slot_low=slot_low[order],
-                 slot_med=slot_med[order], slot_sort=slot_sort[order])
+    return Scene(points=points_s, valid=valid_s, table=table,
+                 slot_low=slot_low_s, slot_med=slot_med_s,
+                 slot_sort=slot_sort_s)
 
 
 def build_scene_batch(points: jnp.ndarray, point_valid: jnp.ndarray,

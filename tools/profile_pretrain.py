@@ -71,6 +71,20 @@ def main():
     bench("full fwd+targets", lambda i: lf(state.params, i))
     bench("grad", lambda i: jax.grad(lf)(state.params, i), n=3)
 
+    # stage bisection: vary block counts, measure eval fwd
+    from geomae_tpu.config import MAEConfig
+    for name, enc, dec in [("fwd enc0 dec0 (VFE+heads)", 0, 0),
+                           ("fwd enc6 dec0", 6, 0),
+                           ("fwd enc0 dec2", 0, 2)]:
+        c2 = replace(cfg, mae=MAEConfig(encoder_blocks=enc,
+                                        decoder_blocks=dec))
+        st2, _ = init_state(c2, B, jax.random.PRNGKey(0))
+        m2 = GeoMAE(c2)
+        v2 = {"params": st2.params, "batch_stats": st2.batch_stats}
+        bench(name, lambda i, _m=m2, _v=v2: _m.apply(
+            _v, scene._replace(points=scene.points + i * eps), keep,
+            train=False))
+
 
 if __name__ == "__main__":
     main()
