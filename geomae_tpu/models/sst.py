@@ -109,6 +109,9 @@ class WindowMHA(nn.Module):
         k = k.reshape(B, V, H, D)
         v = v.reshape(B, V, H, D)
         fused = _select_attention(self.attention_impl)
+        # Mosaic tiling: needs 128-lane channel dim and whole tiles
+        if fused is not None and (C % 128 != 0 or V % 128 != 0):
+            fused = None
         if fused is not None:
             out = fused(q, k, v, shift_data["win_id"],
                         shift_data["key_valid_sorted"])

@@ -51,6 +51,9 @@ def parse_args():
                    help="tiny model config (CPU-friendly)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--cbgs", action="store_true", default=None)
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (e.g. cpu); note JAX_PLATFORMS "
+                        "env can be overridden by site TPU plugins")
     return p.parse_args()
 
 
@@ -87,6 +90,8 @@ class _SyntheticDet(_SyntheticSSL):
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     n_dev = len(jax.devices())
     if args.task == "pretrain":
         cfg = C.tiny_pretrain_config() if args.tiny \
