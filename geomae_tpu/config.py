@@ -351,6 +351,22 @@ def geomae_finetune_nus(**overrides) -> FinetuneConfig:
     return replace(FinetuneConfig(), **overrides) if overrides else FinetuneConfig()
 
 
+def geomae_pretrain_waymo(**overrides) -> PretrainConfig:
+    """Waymo multi-sweep pretraining (BASELINE config 5 — a novel
+    composition: the reference ships unlabeled-Waymo dataset bases
+    (``configs/_base_/datasets/waymo-3d-no-gt-v13.py``) and Waymo SST
+    geometry (``configs/sst_refactor/sst_waymoD5...py``: 0.32 m pillars,
+    range ±74.88, z in [-2, 4]) but no Waymo pretrain config."""
+    voxel = VoxelConfig(
+        point_cloud_range=(-74.88, -74.88, -2.0, 74.88, 74.88, 4.0),
+        voxel_size=(0.32, 0.32, 6.0))
+    caps = CapsConfig(max_points=262144, max_voxels=24576, max_visible=8192)
+    data = DataConfig(data_root="data/waymo", ann_file="waymo_infos_train.pkl",
+                      sweeps_num=3, load_dim=6, use_dim=5)
+    cfg = PretrainConfig(voxel=voxel, caps=caps, data=data)
+    return replace(cfg, **overrides) if overrides else cfg
+
+
 def geomae_finetune_nus_centerhead(**overrides) -> FinetuneConfig:
     """The CenterHead fine-tune variant
     (``configs/pre_sst/m_sst_nus_centerhead_second_35_...py``): 0.256 m

@@ -53,7 +53,8 @@ def init_state(cfg: FinetuneConfig, batch_size: int, rng: jax.Array,
                pretrain_params=None) -> Tuple[TrainState, object]:
     model = DynamicVoxelNet(cfg)
     batch = dummy_batch(cfg, batch_size)
-    scene = extract_scene(cfg, batch["points"], batch["point_valid"])
+    scene = jax.jit(lambda p, v: extract_scene(cfg, p, v))(
+        batch["points"], batch["point_valid"])
     variables = jax.jit(functools.partial(model.init, train=False))(
         rng, scene)
     params = variables["params"]

@@ -73,10 +73,13 @@ def init_state(cfg: PretrainConfig, batch_size: int,
                rng: jax.Array) -> Tuple[TrainState, object]:
     model = build_model(cfg)
     batch = dummy_batch(cfg, batch_size)
-    scene = build_scene_batch(batch["points"], batch["point_valid"],
-                              cfg.voxel, cfg.caps.max_voxels)
-    k_init, k_mask = jax.random.split(rng)
-    keep = sample_mask(k_mask, scene.table.valid, cfg.mae.random_mask_ratio)
+    # jit the setup: eager per-op dispatch is pathological on remote TPUs
+    scene, keep = jax.jit(lambda p, v, k: (
+        lambda s: (s, sample_mask(k, s.table.valid,
+                                  cfg.mae.random_mask_ratio)))(
+        build_scene_batch(p, v, cfg.voxel, cfg.caps.max_voxels)))(
+        batch["points"], batch["point_valid"], rng)
+    k_init, _ = jax.random.split(rng)
     init_fn = jax.jit(functools.partial(model.init, train=False))
     variables = init_fn(k_init, scene, keep)
     tx = make_optimizer(cfg.optim)

@@ -50,7 +50,8 @@ def main():
     eps = 1e-5
     bench("voxelize", lambda i: build_scene_batch(
         pts + i * eps, pv, cfg.voxel, cfg.caps.max_voxels))
-    scene = build_scene_batch(pts, pv, cfg.voxel, cfg.caps.max_voxels)
+    scene = jax.jit(lambda p, v: build_scene_batch(
+        p, v, cfg.voxel, cfg.caps.max_voxels))(pts, pv)
     bench("targets", lambda i: compute_targets_batch(
         scene._replace(points=scene.points + i * eps), cfg))
     keep = sample_mask(jax.random.PRNGKey(0), scene.table.valid, 0.7)
