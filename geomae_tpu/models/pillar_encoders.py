@@ -36,7 +36,7 @@ def dynamic_simple_vfe(scene: Scene, num_features: int = 4):
     table = scene.table
     v_cap = table.valid.shape[-1]
     mean = _seg_mean_b(scene.points[..., :num_features], table.point2voxel,
-                       v_cap, scene.valid)
+                       v_cap, scene.valid, table.valid)
     return jnp.where(table.valid[..., None], mean, 0.0)
 
 
@@ -60,7 +60,7 @@ class PillarFeatureNet(nn.Module):
         xyz = points[..., :3]
         feats = [points]
         if self.cfg.with_cluster_center:
-            vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid)
+            vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid, table.valid)
             feats.append(xyz - _gather_b(vmean, p2v))
         if self.cfg.with_voxel_center:
             r = self.voxel.point_cloud_range
@@ -85,7 +85,7 @@ class PillarFeatureNet(nn.Module):
             x = MaskedBatchNorm(ch, self.cfg.bn_momentum, self.cfg.bn_eps,
                                 name=f"pfn_{i}_norm")(x, point_valid, train)
             x = nn.relu(x)
-            vmax = _seg_max_b(x, p2v, v_cap, point_valid)
+            vmax = _seg_max_b(x, p2v, v_cap, point_valid, table.valid)
             if i != len(self.cfg.feat_channels) - 1:
                 x = jnp.concatenate([x, _gather_b(vmax, p2v)], -1)
         return jnp.where(table.valid[..., None], vmax, 0.0)

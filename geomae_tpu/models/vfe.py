@@ -33,12 +33,45 @@ torch_linear_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")
 
 
-def _seg_mean_b(data, seg, num, valid):
+_SEG_CHUNK = 256
+
+
+def _use_pallas(P: int) -> bool:
+    from .sst import _is_tpu_backend
+    return _is_tpu_backend() and P % _SEG_CHUNK == 0
+
+
+def _seg_mean_b(data, seg, num, valid, row_valid):
+    """Batched masked segment mean over ASCENDING ids.
+
+    On TPU this is one Pallas pass (``ops.pallas_segreduce``); elsewhere the
+    scan-based path.  Invalid points contribute 0 via masking (their ids
+    route to the trailing suffix anyway).  ``row_valid`` zeroes rows the
+    kernel never writes (it only initializes rows up to the last closed
+    segment; trailing rows are HBM garbage by contract)."""
+    if _use_pallas(data.shape[1]):
+        from ..ops.pallas_segreduce import segment_reduce_pallas
+        d = jnp.where(valid[..., None], data, 0).astype(jnp.float32)
+        ones = valid[..., None].astype(jnp.float32)
+        s4 = segment_reduce_pallas(jnp.concatenate([d, ones], -1), seg, num,
+                                   False, _SEG_CHUNK)
+        cnt = jnp.maximum(s4[..., -1:], 1.0)
+        out = (s4[..., :-1] / cnt).astype(data.dtype)
+        return jnp.where(row_valid[..., None], out, 0)
     return jax.vmap(lambda d, s, v: scatter.segment_mean(
         d, s, num, v, sorted_ids=True)[0])(data, seg, valid)
 
 
-def _seg_max_b(data, seg, num, valid):
+def _seg_max_b(data, seg, num, valid, row_valid):
+    """Batched masked segment max; empty/garbage rows become 0 like
+    ``ops.scatter.segment_max(empty_value=0)`` so the gather-back concat
+    never feeds non-finite values into the next Dense layer."""
+    if _use_pallas(data.shape[1]):
+        from ..ops.pallas_segreduce import segment_reduce_pallas
+        neutral = jnp.asarray(-3.0e38, data.dtype)
+        d = jnp.where(valid[..., None], data, neutral)
+        out = segment_reduce_pallas(d, seg, num, True, _SEG_CHUNK)
+        return jnp.where(row_valid[..., None], out.astype(data.dtype), 0)
     return jax.vmap(lambda d, s, v: scatter.segment_max(
         d, s, num, v, sorted_ids=True))(data, seg, valid)
 
@@ -83,7 +116,7 @@ class DynamicScatterVFE(nn.Module):
 
         feats = [points]
         if self.cfg.with_cluster_center:
-            vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid)
+            vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid, table.valid)
             feats.append(xyz - _gather_b(vmean, p2v))
         if self.cfg.with_voxel_center:
             r = self.voxel.point_cloud_range
@@ -108,7 +141,7 @@ class DynamicScatterVFE(nn.Module):
             x = DynamicVFELayer(ch, self.cfg.bn_eps, self.cfg.bn_momentum,
                                 self.dtype, name=f"vfe_{i}")(
                                     x, point_valid, train)
-            vmax = _seg_max_b(x, p2v, v_cap, point_valid)
+            vmax = _seg_max_b(x, p2v, v_cap, point_valid, table.valid)
             if i != len(chans) - 1:
                 x = jnp.concatenate([x, _gather_b(vmax, p2v)], axis=-1)
 

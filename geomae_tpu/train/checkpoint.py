@@ -59,8 +59,23 @@ def save_weights(path: str, params: Any, batch_stats: Any = None):
     ckptr.wait_until_finished()
 
 
+def _resolve_ckpt_dir(path: str) -> str:
+    """Accept any of: a weights-only export, a trainer ckpt root (pick the
+    latest step), or one step directory (descend into the ``default`` item).
+    Mirrors the reference's ``load_from`` taking whatever ``work_dir``
+    checkpoint the user points at."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_METADATA")):
+        steps = sorted(int(d) for d in os.listdir(path) if d.isdigit())
+        if steps:
+            path = os.path.join(path, str(steps[-1]))
+        if os.path.isdir(os.path.join(path, "default")):
+            path = os.path.join(path, "default")
+    return path
+
+
 def load_weights(path: str, template: Any = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
-    if template is None:
-        return ckptr.restore(os.path.abspath(path))
-    return ckptr.restore(os.path.abspath(path), target=template)
+    payload = ckptr.restore(_resolve_ckpt_dir(path), target=template)
+    return payload

@@ -78,6 +78,9 @@ def load_pretrained(params, pretrain_params):
             flat_d[k] = v
             n += 1
     assert n > 0, "no pretrained weights matched the detector"
+    from ..utils.logging import get_root_logger
+    get_root_logger().info(
+        "imported %d/%d pretrained leaves into the detector", n, len(flat_d))
     return flax.traverse_util.unflatten_dict(flat_d)
 
 

@@ -46,7 +46,8 @@ def main():
 
     # VFE alone
     vfe = DynamicScatterVFE(cfg.vfe, cfg.voxel, jnp.bfloat16)
-    vvars = vfe.init(jax.random.PRNGKey(0), scene, train=False)
+    vvars = jax.jit(lambda k: vfe.init(k, scene, train=False))(
+        jax.random.PRNGKey(0))
     bench("VFE fwd", lambda i: vfe.apply(
         vvars, scene._replace(points=scene.points + i * eps), train=False))
 
@@ -74,7 +75,8 @@ def main():
     for impl in ("pallas", "einsum"):
         sst_cfg = replace(cfg.sst, attention_impl=impl)
         stack = SSTStack(sst_cfg, 2, jnp.bfloat16, remat=False)
-        svars = stack.init(jax.random.PRNGKey(0), x, data)
+        svars = jax.jit(lambda k: stack.init(k, x, data))(
+            jax.random.PRNGKey(0))
         bench(f"2-block stack 20k ({impl})", lambda i, _s=stack, _v=svars:
               _s.apply(_v, x + (i * eps).astype(x.dtype), data))
 
