@@ -37,6 +37,16 @@ _SEG_CHUNK = 256
 
 
 def _use_pallas(P: int) -> bool:
+    """Opt-in (GEOMAE_PALLAS_SEGREDUCE=1): the one-pass Pallas segment
+    kernels are numerically verified on TPU v5e but currently LOSE to the
+    scan path end-to-end (~170 ms vs ~80 ms VFE forward at 262k pts):
+    their per-chunk one-hot routing matmuls carry ~30 us/step of overhead
+    at chunk 256, and larger chunks blow up Mosaic compile time
+    quadratically in the [chunk, chunk] one-hot.  Kept for the next
+    optimization round."""
+    import os
+    if os.environ.get("GEOMAE_PALLAS_SEGREDUCE") != "1":
+        return False
     from .sst import _is_tpu_backend
     return _is_tpu_backend() and P % _SEG_CHUNK == 0
 
@@ -77,6 +87,12 @@ def _seg_max_b(data, seg, num, valid, row_valid):
 
 
 def _gather_b(table, idx):
+    """Broadcast table rows back to (sorted) points.  One-pass Pallas
+    window-gather on TPU (XLA row gathers run at ~25 M rows/s); sentinel
+    ids (== table length) return 0 on both paths."""
+    if _use_pallas(idx.shape[1]):
+        from ..ops.pallas_segreduce import segment_gather_pallas
+        return segment_gather_pallas(table, idx, _SEG_CHUNK)
     return jax.vmap(scatter.gather_rows)(table, idx)
 
 
@@ -115,16 +131,19 @@ class DynamicScatterVFE(nn.Module):
         xyz = points[..., :3]
 
         feats = [points]
-        if self.cfg.with_cluster_center:
+        if self.cfg.with_cluster_center or self.cfg.with_voxel_center:
+            # one combined per-pillar gather: [mean xyz, pillar cy, cx]
             vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid, table.valid)
-            feats.append(xyz - _gather_b(vmean, p2v))
+            vrow = jnp.concatenate(
+                [vmean, table.coords.astype(vmean.dtype)], axis=-1)
+            prow = _gather_b(vrow, p2v)
+        if self.cfg.with_cluster_center:
+            feats.append(xyz - prow[..., :3])
         if self.cfg.with_voxel_center:
             r = self.voxel.point_cloud_range
             vx, vy, vz = self.voxel.voxel_size
-            cy = table.coords[..., 0]
-            cx = table.coords[..., 1]
-            px = _gather_b(cx[..., None].astype(points.dtype), p2v)[..., 0]
-            py = _gather_b(cy[..., None].astype(points.dtype), p2v)[..., 0]
+            py = prow[..., 3].astype(points.dtype)
+            px = prow[..., 4].astype(points.dtype)
             fc = jnp.stack([
                 points[..., 0] - (px * vx + (vx / 2 + r[0])),
                 points[..., 1] - (py * vy + (vy / 2 + r[1])),

@@ -62,3 +62,55 @@ def test_segreduce_grad_sum(rng):
         d2[0, i, j] += eps
         fd = (float(f(jnp.asarray(d2))) - float(f(jnp.asarray(d1)))) / (2 * eps)
         assert abs(float(g[0, i, j]) - fd) < 5e-2, (i, j)
+
+
+def test_segment_gather_matches_take(rng):
+    from geomae_tpu.ops.pallas_segreduce import segment_gather_pallas
+    B, P, S, C = 2, 256, 40, 5
+    # dense ascending rank ids with sentinel suffix
+    ids = np.sort(rng.integers(0, S, (B, P)), axis=1).astype(np.int32)
+    for b in range(B):
+        u = np.unique(ids[b])
+        remap = {v: i for i, v in enumerate(u)}
+        ids[b] = np.vectorize(remap.get)(ids[b])
+        n = rng.integers(P // 2, P)
+        ids[b, n:] = S
+    table = rng.normal(size=(B, S, C)).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(segment_gather_pallas(
+            jnp.asarray(table), jnp.asarray(ids), 64))
+    want = np.take_along_axis(
+        np.pad(table, ((0, 0), (0, 1), (0, 0))),
+        np.minimum(ids, S)[..., None], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_segment_gather_grad(rng):
+    from geomae_tpu.ops.pallas_segreduce import segment_gather_pallas
+    B, P, S, C = 1, 128, 10, 3
+    ids = np.sort(rng.integers(0, S, (B, P)), axis=1).astype(np.int32)
+    u = np.unique(ids[0]); remap = {v: i for i, v in enumerate(u)}
+    ids[0] = np.vectorize(remap.get)(ids[0])
+    ids[0, 100:] = S
+    occupied = np.zeros((B, S), bool)
+    for s in range(S):
+        occupied[0, s] = (ids[0] == s).any()
+    table = rng.normal(size=(B, S, C)).astype(np.float32)
+
+    def f(t):
+        t = jnp.where(jnp.asarray(occupied)[..., None], t, 0.0)
+        o = segment_gather_pallas(t, jnp.asarray(ids), 64)
+        return jnp.sum(o ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(f)(jnp.asarray(table))
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-3
+    with pltpu.force_tpu_interpret_mode():
+        for (s, c) in [(0, 0), (4, 2)]:
+            d1, d2 = table.copy(), table.copy()
+            d1[0, s, c] -= eps; d2[0, s, c] += eps
+            fd = (float(f(jnp.asarray(d2)))
+                  - float(f(jnp.asarray(d1)))) / (2 * eps)
+            assert abs(float(g[0, s, c]) - fd) < 5e-2, (s, c)

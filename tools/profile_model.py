@@ -34,13 +34,15 @@ def main():
         batch["points"], batch["point_valid"])
     eps = 1e-5
 
-    def bench(name, fn, n=4):
+    def bench(name, fn, n=8):
+        # block_until_ready, NOT float(): fetching a value through the
+        # remote relay costs ~30 ms per call and swamps sub-module timings
         f = jax.jit(lambda i: jnp.sum(jax.tree_util.tree_leaves(
             fn(i))[0].astype(jnp.float32)))
-        float(f(jnp.float32(0)))
+        jax.block_until_ready(f(jnp.float32(0)))
         t0 = time.perf_counter()
         for i in range(1, n + 1):
-            float(f(jnp.float32(i)))
+            jax.block_until_ready(f(jnp.float32(i)))
         print(f"{name:30s} {(time.perf_counter() - t0) / n * 1000:8.1f} ms",
               flush=True)
 
