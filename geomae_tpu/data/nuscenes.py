@@ -112,6 +112,8 @@ class NuScenesSSLDataset:
 class NuScenesDetDataset:
     """Labeled key frames for detection fine-tune."""
 
+    CLASSES = NUS_CLASSES
+
     def __init__(self, cfg: DataConfig, voxel: VoxelConfig, caps,
                  max_gt_boxes: int = 512, test_mode: bool = False,
                  infos: Optional[List[Dict]] = None,
@@ -143,9 +145,9 @@ class NuScenesDetDataset:
         if self.use_valid_flag and "valid_flag" in info:
             m = np.asarray(info["valid_flag"], bool)
             boxes, names = boxes[m], names[m]
+        cls = self.CLASSES
         labels = np.array(
-            [NUS_CLASSES.index(n) if n in NUS_CLASSES else -1 for n in names],
-            np.int32)
+            [cls.index(n) if n in cls else -1 for n in names], np.int32)
         keep = labels >= 0
         return boxes[keep], labels[keep]
 
@@ -200,7 +202,7 @@ class CBGSDataset:
         self.indices = self._balanced_indices()
 
     def _balanced_indices(self) -> List[int]:
-        n_cls = len(NUS_CLASSES)
+        n_cls = len(self.dataset.CLASSES)
         cls_to_samples: Dict[int, List[int]] = {c: [] for c in range(n_cls)}
         for i in range(len(self.dataset)):
             for c in self.dataset.cat_ids(i):
@@ -222,3 +224,19 @@ class CBGSDataset:
 
     def __getitem__(self, idx: int, seed=None):
         return self.dataset.__getitem__(self.indices[idx], seed=seed)
+
+
+LYFT_CLASSES = ("car", "truck", "bus", "emergency_vehicle", "other_vehicle",
+                "motorcycle", "bicycle", "pedestrian", "animal")
+
+
+class LyftDataset(NuScenesDetDataset):
+    """Level-5 (Lyft) detection frames (reference
+    ``mmdet3d/datasets/lyft_dataset.py``; inherited, off the GeoMAE path).
+    Identical info schema to nuScenes minus velocity annotations — the
+    reader pads the two velocity dims with zeros — with the Lyft class
+    vocabulary.  Evaluation: format with
+    :func:`geomae_tpu.eval.nuscenes_eval.format_nuscenes_results` and score
+    with the lyft devkit on host (not bundled in this image)."""
+
+    CLASSES = LYFT_CLASSES

@@ -92,3 +92,35 @@ def test_det_dataset_and_loader(infos_pkl):
     batches = list(loader)
     assert len(batches) == len(ds) // 2
     assert batches[0]["points"].shape == (2, 8192, 5)
+
+
+def test_lyft_dataset_reader(tmp_path):
+    """LyftDataset shares the nuScenes reader with the Lyft vocabulary and
+    zero-padded velocity dims."""
+    import pickle
+    import numpy as np
+    from geomae_tpu.config import geomae_finetune_nus, replace
+    from geomae_tpu.data.nuscenes import LYFT_CLASSES, LyftDataset
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (300, 5)).astype(np.float32)
+    bin_path = tmp_path / "lidar0.bin"
+    pts.astype(np.float32).tofile(bin_path)
+    infos = [dict(
+        lidar_path=str(bin_path), timestamp=0, sweeps=[],
+        gt_boxes=np.array([[1, 2, 0, 4, 2, 1.5, 0.3]], np.float32),
+        gt_names=np.array(["emergency_vehicle"]),
+        token="t0",
+    )]
+    with open(tmp_path / "infos.pkl", "wb") as f:
+        pickle.dump(dict(infos=infos, metadata={}), f)
+
+    cfg = geomae_finetune_nus()
+    data = replace(cfg.data, data_root=str(tmp_path), ann_file="infos.pkl",
+                   sweeps_num=0)
+    ds = LyftDataset(data, cfg.voxel, cfg.caps, infos=infos)
+    assert ds.CLASSES == LYFT_CLASSES
+    sample = ds.__getitem__(0, seed=1)
+    assert sample["gt_boxes"].shape[-1] == 9          # velocity zero-padded
+    lbl = sample["gt_labels"][sample["gt_mask"]]
+    assert (lbl == LYFT_CLASSES.index("emergency_vehicle")).all()
