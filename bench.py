@@ -60,6 +60,17 @@ def realistic_batch(rng: np.random.Generator, cfg, batch: int):
     return dict(points=jnp.asarray(pts), point_valid=jnp.asarray(valid))
 
 
+def _fetch(losses) -> float:
+    """Force TRUE completion of the step.
+
+    Through the remote TPU relay, ``jax.block_until_ready`` returns before
+    the computation finishes (it syncs metadata only), silently inflating
+    throughput ~100x.  Fetching a scalar VALUE is the only reliable
+    barrier; its round-trip latency is measured separately (null program)
+    and subtracted so the relay isn't billed to the model."""
+    return float(jax.tree_util.tree_leaves(losses)[0])
+
+
 def main():
     cfg = geomae_pretrain_nus()
     cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
@@ -73,15 +84,22 @@ def main():
     for i in range(WARMUP):
         key, k = jax.random.split(key)
         state, losses = step(state, batch, k)
-    jax.block_until_ready(losses)
+    _fetch(losses)
+
+    # per-call fetch latency of the transport (null program, same sync)
+    null = jax.jit(lambda x: x + 1.0)
+    _ = float(null(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(8):
+        _ = float(null(jnp.float32(i)))
+    fetch_floor = (time.perf_counter() - t0) / 8
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         key, k = jax.random.split(key)
         state, losses = step(state, batch, k)
-        jax.block_until_ready(losses)   # per-step: async dispatch through
-        # the remote relay otherwise under-reports wall time
-    dt = time.perf_counter() - t0
+        _fetch(losses)
+    dt = time.perf_counter() - t0 - STEPS * fetch_floor
 
     sps = BATCH * STEPS / dt
     print(json.dumps({

@@ -34,17 +34,25 @@ def main():
         batch["points"], batch["point_valid"])
     eps = 1e-5
 
-    def bench(name, fn, n=8):
-        # block_until_ready, NOT float(): fetching a value through the
-        # remote relay costs ~30 ms per call and swamps sub-module timings
+    # float() (value fetch) is the ONLY true completion barrier through the
+    # remote relay — block_until_ready returns early there.  The fetch's
+    # own round-trip (~30 ms) is measured on a null program and subtracted.
+    null = jax.jit(lambda x: x + 1.0)
+    float(null(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(8):
+        float(null(jnp.float32(i)))
+    floor = (time.perf_counter() - t0) / 8
+
+    def bench(name, fn, n=4):
         f = jax.jit(lambda i: jnp.sum(jax.tree_util.tree_leaves(
             fn(i))[0].astype(jnp.float32)))
-        jax.block_until_ready(f(jnp.float32(0)))
+        float(f(jnp.float32(0)))
         t0 = time.perf_counter()
         for i in range(1, n + 1):
-            jax.block_until_ready(f(jnp.float32(i)))
-        print(f"{name:30s} {(time.perf_counter() - t0) / n * 1000:8.1f} ms",
-              flush=True)
+            float(f(jnp.float32(i)))
+        ms = ((time.perf_counter() - t0) / n - floor) * 1000
+        print(f"{name:30s} {ms:8.1f} ms", flush=True)
 
     # VFE alone
     vfe = DynamicScatterVFE(cfg.vfe, cfg.voxel, jnp.bfloat16)
