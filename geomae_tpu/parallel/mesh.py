@@ -16,6 +16,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) needs {n_devices} devices but the "
+                f"{devs[0].platform} backend has only {len(devs)}. For a "
+                "virtual multi-chip run set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} BEFORE "
+                "importing jax (dryrun_multichip does this via a subprocess).")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
