@@ -315,8 +315,10 @@ class GeoMAE(nn.Module):
         # ---- encoder over compacted visible tokens ------------------------
         vis_idx, vis_valid = jax.vmap(
             lambda k: compact_visible(k, vis_cap))(keep)
-        take = lambda x: jnp.take_along_axis(
-            x, vis_idx.reshape(B, vis_cap, *([1] * (x.ndim - 2))), axis=1)
+        # ascending indices (INT32_MAX suffix) let the compaction gather use
+        # a cumsum-based backward (take_rows_sorted) instead of a scatter
+        vis_raw = jnp.where(vis_valid, vis_idx, INT32_MAX)
+        take = lambda x: jax.vmap(scatter.take_rows_sorted)(x, vis_raw)
         vis_feats = jnp.where(vis_valid[..., None], take(voxel_feats), 0)
         vis_coords = take(table.coords)
 
@@ -334,8 +336,8 @@ class GeoMAE(nn.Module):
         # looks up its position in the visible list via the keep prefix-sum)
         vis_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
         ok = keep & (vis_rank < vis_cap)
-        enc_full = jnp.take_along_axis(
-            x, jnp.clip(vis_rank, 0, vis_cap - 1)[..., None], axis=1)
+        enc_full = jax.vmap(scatter.take_rows_sorted)(
+            x, jnp.clip(vis_rank, 0, vis_cap - 1))
         enc_full = jnp.where(ok[..., None], enc_full, 0)
 
         # ---- decoder over all (visible ∪ masked) pillars -------------------
@@ -389,6 +391,47 @@ def _bce_with_logits(logits, target):
         jnp.exp(-jnp.abs(logits)))
 
 
+def _slot_sort_to_low(voxel):
+    """Static table ``perm[slot_sort] = slot_low`` (numpy int32 [s_low]).
+
+    ``slot_sort`` is the canonical med-major relabeling of the reference's
+    row-major ``slot_low`` (``ops.voxelize.sub_voxel_slots``); both are
+    functions of the in-pillar (z, y, x) only, so the mapping is a fixed
+    bijection."""
+    import numpy as np
+    rz, ry, rx = voxel.sub_voxel_ratio_low
+    mz, my, mx = voxel.sub_voxel_ratio_med
+    fz, fy, fx = rz // mz, ry // my, rx // mx
+    z, y, x = np.meshgrid(np.arange(rz), np.arange(ry), np.arange(rx),
+                          indexing="ij")
+    slot_low = (z * ry * rx + y * rx + x).reshape(-1)
+    slot_med = ((z // fz) * (my * mx) + (y // fy) * mx + (x // fx)).reshape(-1)
+    intra = ((z % fz) * (fy * fx) + (y % fy) * fx + (x % fx)).reshape(-1)
+    s_sort = slot_med * (fz * fy * fx) + intra
+    out = np.zeros(rz * ry * rx, np.int32)
+    out[s_sort] = slot_low
+    return out
+
+
+def _permute_slots(x: jnp.ndarray, perm, inv):
+    """Static permutation of axis 2 of ``x`` [B, V, S, k] with an explicit
+    inverse-permutation backward (a static-index scatter would otherwise
+    lower to a sort on TPU)."""
+
+    @jax.custom_vjp
+    def f(t):
+        return t[:, :, perm, :]
+
+    def fwd(t):
+        return t[:, :, perm, :], None
+
+    def bwd(_, g):
+        return (g[:, :, inv, :],)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
 def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
                   keep: jnp.ndarray, cfg: PretrainConfig) -> dict:
     """Masked multi-term loss (``forward_loss``, ``..._ssl.py:838-902``).
@@ -410,16 +453,29 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
     mask_rows = valid_rows & ~keep                   # [B, V] masked pillars
     p2v = table.point2voxel                          # [B, P]
     in_cap = p2v < V
+    pt_ok = in_cap & scene.valid                     # true on a prefix
     p2v_safe = jnp.clip(p2v, 0, V - 1)
     pt_masked = jnp.take_along_axis(mask_rows, p2v_safe, axis=1) \
-        & in_cap & scene.valid                       # [B, P]
+        & pt_ok                                      # [B, P]
 
     f32 = lambda x: x.astype(jnp.float32)
 
+    # Point-space gathers below use ASCENDING (pillar, slot) indices so
+    # take_rows_sorted gives them a cumsum backward instead of a scatter
+    # into the [B, V*S, k] prediction table.  slot_low is NOT ascending in
+    # canonical order, so the low-resolution predictions get their slot
+    # axis statically permuted into slot_sort order first.
+    import numpy as _np
+    perm_low = _slot_sort_to_low(cfg.voxel)
+    inv_low = _np.argsort(perm_low)
+
+    def _pt_gather(flat, slot, s_num):
+        idx = jnp.where(pt_ok, p2v_safe * s_num + slot, V * s_num)
+        return jax.vmap(scatter.take_rows_sorted)(flat, idx)
+
     def _sparse_reg(pred, slot, s_num, seg_last, centroid):
         flat = f32(pred).reshape(B, V * s_num, 3)
-        idx = p2v_safe * s_num + slot
-        pred_pt = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        pred_pt = _pt_gather(flat, slot, s_num)
         err = jnp.mean(jnp.square(pred_pt - f32(centroid)), axis=-1)
         sel = seg_last & pt_masked
         cnt = jnp.maximum(jnp.sum(sel), 1)
@@ -432,7 +488,8 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
 
     losses = dict(
         loss_centroid_low=_sparse_reg(
-            preds["reg_low"], scene.slot_low, cfg.voxel.num_slots_low,
+            _permute_slots(preds["reg_low"], perm_low, inv_low),
+            scene.slot_sort, cfg.voxel.num_slots_low,
             targets.low_last, targets.low_centroid) * m.loss_ratio_low,
         loss_centroid_med=_sparse_reg(
             preds["reg_med"], scene.slot_med, cfg.voxel.num_slots_med,
@@ -453,8 +510,7 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
             base = jnp.sum(jnp.where(mask_rows[..., None], base, 0))
             # sparse correction at occupied slots: swap target to [0, 1]
             flat = lg.reshape(B, V * s_num, 2)
-            idx = p2v_safe * s_num + slot
-            lg_pt = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            lg_pt = _pt_gather(flat, slot, s_num)
             delta = (_bce_with_logits(lg_pt[..., 0], 0.0)
                      + _bce_with_logits(lg_pt[..., 1], 1.0)) \
                 - (_bce_with_logits(lg_pt[..., 0], 1.0)
@@ -465,7 +521,8 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
             return (base + corr) / denom
 
         losses["loss_cls_low"] = _cls(
-            preds["cls_low"], scene.slot_low, cfg.voxel.num_slots_low,
+            _permute_slots(preds["cls_low"], perm_low, inv_low),
+            scene.slot_sort, cfg.voxel.num_slots_low,
             targets.low_last) * m.cls_loss_ratio_low
         losses["loss_cls_med"] = _cls(
             preds["cls_med"], scene.slot_med, cfg.voxel.num_slots_med,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..config import SSTConfig
 from ..ops.attention import band_attention
+from ..ops.scatter import permute_rows
 from ..ops.windows import WindowLayout
 
 
@@ -34,6 +35,12 @@ def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         return jnp.take_along_axis(x, idx, axis=1)
     return jnp.take_along_axis(
         x, idx.reshape(idx.shape + (1,) * (x.ndim - idx.ndim)), axis=1)
+
+
+def _permute(x: jnp.ndarray, perm: jnp.ndarray,
+             inv_perm: jnp.ndarray) -> jnp.ndarray:
+    """Batched permutation gather with inverse-permutation backward."""
+    return jax.vmap(permute_rows)(x, perm, inv_perm)
 
 
 def prepare_shift_data(layouts: Sequence[WindowLayout],
@@ -92,7 +99,7 @@ class WindowMHA(nn.Module):
         H = self.nhead
         D = C // H
         perm, inv_perm = shift_data["perm"], shift_data["inv_perm"]
-        x_s = _take(x, perm)
+        x_s = _permute(x, perm, inv_perm)
         pos = shift_data["pos_sorted"].astype(x.dtype)
         qk_in = x_s + pos
 
@@ -121,7 +128,7 @@ class WindowMHA(nn.Module):
         out = out.reshape(B, V, C)
         out = nn.Dense(C, dtype=self.dtype, name="out_proj",
                        kernel_init=nn.initializers.xavier_uniform())(out)
-        return _take(out, inv_perm)
+        return _permute(out, inv_perm, perm)
 
 
 class EncoderLayer(nn.Module):

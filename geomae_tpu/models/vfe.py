@@ -89,11 +89,13 @@ def _seg_max_b(data, seg, num, valid, row_valid):
 def _gather_b(table, idx):
     """Broadcast table rows back to (sorted) points.  One-pass Pallas
     window-gather on TPU (XLA row gathers run at ~25 M rows/s); sentinel
-    ids (== table length) return 0 on both paths."""
+    ids (== table length) return 0 on both paths.  ``take_rows_sorted``
+    gives the gather a cumsum-based backward (idx = p2v is ascending)
+    instead of a scatter-add."""
     if _use_pallas(idx.shape[1]):
         from ..ops.pallas_segreduce import segment_gather_pallas
         return segment_gather_pallas(table, idx, _SEG_CHUNK)
-    return jax.vmap(scatter.gather_rows)(table, idx)
+    return jax.vmap(scatter.take_rows_sorted)(table, idx)
 
 
 class DynamicVFELayer(nn.Module):

@@ -16,6 +16,8 @@ sortedness (invalid points are a suffix of the sorted scene).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,14 +46,8 @@ def _segment_bounds(ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
                             method="sort").astype(jnp.int32)
 
 
-def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
-                        num_segments: int) -> jnp.ndarray:
-    """Segment sum for ASCENDING ids: cumulative sum + boundary gathers.
-
-    ``sum_s = csum[end_s - 1] - csum[start_s - 1]`` with boundaries from
-    :func:`_segment_bounds`.  One linear scan + gathers; no sort, no
-    scatter.
-    """
+def _sorted_segment_sum_impl(data: jnp.ndarray, ids: jnp.ndarray,
+                             num_segments: int) -> jnp.ndarray:
     csum = jnp.cumsum(data.astype(jnp.float32), axis=0)
     R = _segment_bounds(ids, num_segments)
     start = jnp.concatenate([jnp.zeros((1,), R.dtype), R[:-1]])
@@ -60,6 +56,36 @@ def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
     lo = jnp.where((start > 0).reshape(exp),
                    csum[jnp.maximum(start - 1, 0)], 0.0)
     return (hi - lo).astype(data.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sorted_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Segment sum for ASCENDING ids: cumulative sum + boundary gathers.
+
+    ``sum_s = csum[end_s - 1] - csum[start_s - 1]`` with boundaries from
+    :func:`_segment_bounds`.  One linear scan + gathers; no sort, no
+    scatter.
+
+    Custom VJP: ``d_data[i] = g[ids[i]]`` — ONE row gather, instead of XLA
+    differentiating through the cumsum (a reversed cumsum over the whole
+    point table plus boundary scatter-adds, which TPU lowers to sorts).
+    """
+    return _sorted_segment_sum_impl(data, ids, num_segments)
+
+
+def _sss_fwd(data, ids, num_segments):
+    # zero-size carrier keeps the primal dtype (residuals must be JAX types)
+    return _sorted_segment_sum_impl(data, ids, num_segments), \
+        (ids, jnp.zeros((0,), data.dtype))
+
+
+def _sss_bwd(num_segments, res, g):
+    ids, carrier = res
+    return gather_rows(g, ids).astype(carrier.dtype), None
+
+
+_sorted_segment_sum.defvjp(_sss_fwd, _sss_bwd)
 
 
 def segment_sum(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
@@ -133,10 +159,8 @@ def segment_mean(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
     return mean, c.astype(jnp.int32)
 
 
-def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
-                        num_segments: int) -> jnp.ndarray:
-    """Segment max for ASCENDING ids: segmented max-scan + boundary gather
-    (same no-scatter rationale as :func:`_sorted_segment_sum`)."""
+def _sorted_segment_max_impl(data: jnp.ndarray, ids: jnp.ndarray,
+                             num_segments: int) -> jnp.ndarray:
     prv = jnp.concatenate([jnp.full((1,), -2, ids.dtype), ids[:-1]])
     first = (ids != prv)
 
@@ -153,6 +177,36 @@ def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
     exp = (R.shape[0],) + (1,) * (data.ndim - 1)
     out = scanned[jnp.maximum(R - 1, 0)]
     return jnp.where((R > start).reshape(exp), out, 0).astype(data.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sorted_segment_max(data: jnp.ndarray, ids: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Segment max for ASCENDING ids: segmented max-scan + boundary gather
+    (same no-scatter rationale as :func:`_sorted_segment_sum`).
+
+    Custom VJP: gradient routes to every element equal to its segment's
+    max (ties duplicated, like ``jax.ops.segment_max``) — two row gathers
+    plus a compare, instead of differentiating through the associative
+    max-scan.
+    """
+    return _sorted_segment_max_impl(data, ids, num_segments)
+
+
+def _ssm_fwd(data, ids, num_segments):
+    out = _sorted_segment_max_impl(data, ids, num_segments)
+    return out, (data, ids, out)
+
+
+def _ssm_bwd(num_segments, res, g):
+    data, ids, out = res
+    routed_max = gather_rows(out, ids, fill=jnp.inf)
+    sel = data == routed_max
+    d = jnp.where(sel, gather_rows(g, ids), 0).astype(data.dtype)
+    return d, None
+
+
+_sorted_segment_max.defvjp(_ssm_fwd, _ssm_bwd)
 
 
 def segment_max(data: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int,
@@ -194,3 +248,58 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     rows = table[safe]
     mask = ok.reshape(ok.shape + (1,) * (rows.ndim - 1))
     return jnp.where(mask, rows, jnp.asarray(fill, rows.dtype))
+
+
+@jax.custom_vjp
+def take_rows_sorted(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``table[idx]`` for ASCENDING ``idx`` (out-of-range -> 0).
+
+    Same forward as :func:`gather_rows`, but the backward w.r.t. ``table``
+    is computed as a *sorted segment sum* (cumsum + boundary gathers)
+    instead of the scatter-add XLA would emit — which TPU lowers to a sort
+    over the full gradient table.  This is the broadcast-back primitive of
+    the VFE (reference ``voxel_encoder.py:400-412``) on the hot path.
+    """
+    return gather_rows(table, idx)
+
+
+def _trs_fwd(table, idx):
+    # zero-size carrier keeps the table's row count + dtype statically
+    return gather_rows(table, idx), \
+        (idx, jnp.zeros((table.shape[0], 0), table.dtype))
+
+
+def _trs_bwd(res, g):
+    idx, carrier = res
+    return _sorted_segment_sum_impl(
+        g, idx.astype(jnp.int32), carrier.shape[0]).astype(carrier.dtype), \
+        None
+
+
+take_rows_sorted.defvjp(_trs_fwd, _trs_bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray,
+                 inv_perm: jnp.ndarray) -> jnp.ndarray:
+    """``x[perm]`` where ``perm`` is a permutation with known inverse.
+
+    Backward of a permutation gather is the inverse permutation gather:
+    ``d_x = g[inv_perm]``.  Without this, XLA's gather-VJP emits a
+    scatter, which TPU lowers to a sort — and the SST stack performs two
+    of these per layer (sort into the shift's window order and back).
+    """
+    del inv_perm
+    return x[perm]
+
+
+def _perm_fwd(x, perm, inv_perm):
+    return x[perm], (inv_perm,)
+
+
+def _perm_bwd(res, g):
+    (inv_perm,) = res
+    return g[inv_perm], None, None
+
+
+permute_rows.defvjp(_perm_fwd, _perm_bwd)
