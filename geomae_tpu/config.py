@@ -117,6 +117,10 @@ class SSTConfig:
     activation: str = "gelu"
     # "auto": Pallas fused kernel on TPU, einsum elsewhere
     attention_impl: str = "auto"      # "auto" | "pallas" | "einsum"
+    # rematerialize whole SST blocks in backward (torch checkpoint_blocks
+    # analogue).  With the fused Pallas attention backward, activations are
+    # small enough that remat=False trades ~1 forward of recompute for HBM.
+    remat_blocks: bool = True
 
 
 @dataclass(frozen=True)

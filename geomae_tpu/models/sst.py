@@ -179,12 +179,12 @@ class SSTStack(nn.Module):
     cfg: SSTConfig
     num_blocks: int
     dtype: jnp.dtype = jnp.float32
-    remat: bool = True
+    remat: bool | None = None     # None: follow cfg.remat_blocks
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
-        block_cls = nn.remat(BasicShiftBlock) if self.remat else \
-            BasicShiftBlock
+        remat = self.cfg.remat_blocks if self.remat is None else self.remat
+        block_cls = nn.remat(BasicShiftBlock) if remat else BasicShiftBlock
         for i in range(self.num_blocks):
             x = block_cls(self.cfg, self.dtype, name=f"block_{i}")(
                 x, shift_datas)

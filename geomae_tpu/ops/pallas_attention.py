@@ -1,25 +1,36 @@
-"""Fused band window attention (Pallas TPU kernel).
+"""Fused band window attention, forward AND backward (Pallas TPU kernels).
 
 Drop-in replacement for ``ops.attention.band_attention``: same math (exact
 windowed attention over window-sorted tokens, see ``ops/windows.py``), but
 the [tile, band] score/weight matrices live in VMEM scratch instead of HBM.
-The XLA einsum path materializes the banded K/V copies AND the bf16 weight
-tensor per layer (hundreds of MB per pass at 20k tokens); this kernel
-streams K/V bands straight from HBM with async DMA and never writes the
-weights anywhere.
+The XLA einsum path materializes the banded K/V copies AND the weight
+tensor per layer (hundreds of MB per pass at 20k tokens); these kernels
+stream bands straight from HBM with async DMA and never write the weights
+anywhere.
 
-Per grid step (b, i): DMA the padded K/V band and a float32 aux band
-(window id + key-validity channels; ids < 2^24 are exact in f32, which
-sidesteps Mosaic's int32 slice-tiling limits) for positions
+Forward, per grid step (b, i): DMA the padded K/V band and a float32 aux
+band (window id + key-validity channels; ids < 2^24 are exact in f32,
+which sidesteps Mosaic's int32 slice-tiling limits) for positions
 ``[i*tile, i*tile + width)`` into VMEM, compute per-head
 ``softmax(q K^T / sqrt(d) + mask) V`` with the same -1e9 masking and
-empty-row -> 0 semantics as the reference path, and write the [tile, C]
-output block.  The query tile's window ids are the middle slice of the
-band, so no separate query-side metadata is needed.
+empty-row -> 0 semantics as the einsum path, and write the [tile, C]
+output block plus the per-row softmax stats (running max m, normalizer l)
+needed by the backward.
 
-Backward currently routes through the einsum path via ``jax.custom_vjp``
-(correct, unfused); a flash-style fused backward is tracked for a later
-round.
+Backward is the flash-attention split (the reference's torch autodiff
+equivalent lives under ``nn.MultiheadAttention``,
+``/root/reference/mmdet3d/models/sst/sst_basic_block.py:36-59``):
+
+  D_i  = sum_d dO_id O_id                       (tiny elementwise, XLA)
+  p_ij = exp(s_ij - m_i) / max(l_i, eps)        (recomputed in VMEM)
+  dV_j = sum_i p_ij dO_i
+  dS_ij = p_ij (dO_i . v_j - D_i)
+  dQ_i = scale * sum_j dS_ij k_j                (dq kernel: query tiles)
+  dK_j = scale * sum_i dS_ij q_i                (dkv kernel: key tiles)
+
+The band structure is symmetric (same-window pairs are within ±pad sorted
+positions of each other), so the dkv kernel iterates KEY tiles and DMAs
+the same-shaped band of Q/dO/stats around them.
 """
 from __future__ import annotations
 
@@ -30,16 +41,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import band_attention as band_attention_ref
-
 DEFAULT_TILE = 128
 DEFAULT_NBANDS = 2
 _PAD_WIN = -1.0
 _NEG = -1e9
+_EPS = 1e-20
 
 
-def _kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, kbuf, vbuf, auxbuf,
-            sems, *, tile, width, nheads, head_dim, pad):
+def _band_inputs(q, k, v, win_id, key_valid, pad):
+    """Flatten heads and build padded K/V + aux [B, 2, Vp] arrays."""
+    B, V, H, D = q.shape
+    C = H * D
+    qf = q.reshape(B, V, C)
+    kf = jnp.pad(k.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
+    vf = jnp.pad(v.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
+    # window ids as exact small floats; sorted-table padding (INT32_MAX)
+    # exceeds 2^24, so clamp it to a sentinel that never matches a real id
+    win_f = jnp.where(win_id >= 2 ** 24, 2.0 ** 25,
+                      win_id.astype(jnp.float32))
+    aux = jnp.stack([
+        jnp.pad(win_f, ((0, 0), (pad, pad)), constant_values=_PAD_WIN),
+        jnp.pad(key_valid.astype(jnp.float32), ((0, 0), (pad, pad))),
+    ], axis=1)                                      # [B, 2, Vp]
+    return qf, kf, vf, aux
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
+                kbuf, vbuf, auxbuf, sems, *, tile, width, nheads, head_dim,
+                pad):
     b = pl.program_id(0)
     i = pl.program_id(1)
     start = i * tile
@@ -67,21 +101,19 @@ def _kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, kbuf, vbuf, auxbuf,
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q[:, sl]
-        kh = kbuf[:, sl]
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
+            q[:, sl], kbuf[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, _NEG)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        e = jnp.where(mask, e, 0.0)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             e.astype(vbuf.dtype), vbuf[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0, :, sl] = (o / jnp.maximum(denom, 1e-20)).astype(
-            out_ref.dtype)
+        out_ref[0, :, sl] = (o / jnp.maximum(l, _EPS)).astype(out_ref.dtype)
+        stats_ref[0, h, :] = m[:, 0]
+        stats_ref[0, nheads + h, :] = l[:, 0]
 
 
 def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
@@ -91,21 +123,11 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
     nt = V // tile
     pad = nbands * tile
     width = tile + 2 * pad
+    qf, kf, vf, aux = _band_inputs(q, k, v, win_id, key_valid, pad)
 
-    qf = q.reshape(B, V, C)
-    kf = jnp.pad(k.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
-    vf = jnp.pad(v.reshape(B, V, C), ((0, 0), (pad, pad), (0, 0)))
-    # window ids as exact small floats; sorted-table padding (INT32_MAX)
-    # exceeds 2^24, so clamp it to a sentinel that never matches a real id
-    win_f = jnp.where(win_id >= 2 ** 24, 2.0 ** 25, win_id.astype(jnp.float32))
-    aux = jnp.stack([
-        jnp.pad(win_f, ((0, 0), (pad, pad)), constant_values=_PAD_WIN),
-        jnp.pad(key_valid.astype(jnp.float32), ((0, 0), (pad, pad))),
-    ], axis=1)                                      # [B, 2, V+2pad]
-
-    kern = functools.partial(_kernel, tile=tile, width=width, nheads=H,
+    kern = functools.partial(_fwd_kernel, tile=tile, width=width, nheads=H,
                              head_dim=D, pad=pad)
-    out = pl.pallas_call(
+    out, stats = pl.pallas_call(
         kern,
         grid=(B, nt),
         in_specs=[
@@ -115,9 +137,16 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, V, C), v.dtype),
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H, tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, V, C), v.dtype),
+            jax.ShapeDtypeStruct((B, 2 * H, V), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((width, C), k.dtype),
             pltpu.VMEM((width, C), v.dtype),
@@ -126,7 +155,211 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
         ],
         interpret=interpret,
     )(qf, kf, vf, aux)
-    return out.reshape(B, V, H, D)
+    return out.reshape(B, V, H, D), stats
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, do_ref, st_ref, k_hbm, aux_hbm, dq_ref,
+               kbuf, auxbuf, sems, *, tile, width, nheads, head_dim, pad):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = i * tile
+
+    cp_k = pltpu.make_async_copy(k_hbm.at[b, pl.ds(start, width), :], kbuf,
+                                 sems.at[0])
+    cp_a = pltpu.make_async_copy(
+        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[1])
+    cp_k.start()
+    cp_a.start()
+    cp_k.wait()
+    cp_a.wait()
+
+    q = q_ref[0]
+    do = do_ref[0]
+    wink = auxbuf[0, 0, :]
+    kvk = auxbuf[0, 1, :]
+    winq = auxbuf[0, 0, pad:pad + tile]
+    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
+
+    scale = 1.0 / (head_dim ** 0.5)
+    for h in range(nheads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        m = st_ref[0, h, :][:, None]                       # [tile, 1]
+        inv_l = 1.0 / jnp.maximum(st_ref[0, nheads + h, :], _EPS)[:, None]
+        dvo = st_ref[0, 2 * nheads + h, :][:, None]        # D_i
+        s = jax.lax.dot_general(
+            q[:, sl], kbuf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.where(mask, jnp.exp(s - m), 0.0) * inv_l   # [tile, width]
+        # dP_ij = dO_i . v_j — the V band rides in the same buffer as K:
+        # kbuf holds [K ; V] stacked on channels (see _pallas_backward)
+        vsl = slice(nheads * head_dim + sl.start, nheads * head_dim + sl.stop)
+        dp = jax.lax.dot_general(
+            do[:, sl], kbuf[:, vsl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - dvo)                                # [tile, width]
+        dq = jax.lax.dot_general(
+            ds.astype(kbuf.dtype), kbuf[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, st_hbm, aux_hbm,
+                dk_ref, dv_ref, qbuf, dobuf, stbuf, auxbuf, sems, *,
+                tile, width, nheads, head_dim, pad):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = i * tile
+
+    cp_q = pltpu.make_async_copy(q_hbm.at[b, pl.ds(start, width), :], qbuf,
+                                 sems.at[0])
+    cp_o = pltpu.make_async_copy(do_hbm.at[b, pl.ds(start, width), :], dobuf,
+                                 sems.at[1])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], stbuf, sems.at[2])
+    cp_a = pltpu.make_async_copy(
+        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[3])
+    cp_q.start()
+    cp_o.start()
+    cp_s.start()
+    cp_a.start()
+    cp_q.wait()
+    cp_o.wait()
+    cp_s.wait()
+    cp_a.wait()
+
+    kt = k_ref[0]                                  # [tile, C] key tile
+    vt = v_ref[0]
+    win_t = aux_t_ref[0, 0, :]                     # key tile window ids
+    kv_t = aux_t_ref[0, 1, :]                      # key tile validity
+    winq = auxbuf[0, 0, :]                         # [width] query win ids
+    # pair mask (query i in band, key j in tile): win_i == win_j & kv_j
+    mask = (winq[:, None] == win_t[None, :]) & (kv_t[None, :] > 0.5)
+
+    scale = 1.0 / (head_dim ** 0.5)
+    for h in range(nheads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        m = stbuf[0, h, :][:, None]                        # [width, 1]
+        inv_l = 1.0 / jnp.maximum(stbuf[0, nheads + h, :], _EPS)[:, None]
+        dvo = stbuf[0, 2 * nheads + h, :][:, None]
+        # s_ij for queries i (band) x keys j (tile)
+        s = jax.lax.dot_general(
+            qbuf[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [width, tile]
+        p = jnp.where(mask, jnp.exp(s - m), 0.0) * inv_l
+        dv = jax.lax.dot_general(
+            p.astype(dobuf.dtype), dobuf[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, Dh]
+        dp = jax.lax.dot_general(
+            dobuf[:, sl], vt[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [width, tile]
+        ds = p * (dp - dvo)
+        dk = jax.lax.dot_general(
+            ds.astype(qbuf.dtype), qbuf[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [tile, Dh]
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
+                     tile, nbands, interpret=False):
+    B, V, H, D = q.shape
+    C = H * D
+    nt = V // tile
+    pad = nbands * tile
+    width = tile + 2 * pad
+
+    qf, kf, vf, aux = _band_inputs(q, k, v, win_id, key_valid, pad)
+    gf = g.reshape(B, V, C)
+    # D_i = sum_d dO_id O_id per head — tiny elementwise reduction
+    dvo = jnp.einsum("bvhd,bvhd->bhv", g.astype(jnp.float32),
+                     out.astype(jnp.float32))
+    stats3 = jnp.concatenate([stats, dvo], axis=1)         # [B, 3H, V]
+
+    # ---- dq over query tiles ----------------------------------------------
+    # the dq kernel needs both K and V bands; stack them on channels so one
+    # DMA streams both ([B, Vp, 2C])
+    kv_band = jnp.concatenate([kf, vf], axis=-1)
+    dq_kern = functools.partial(_dq_kernel, tile=tile, width=width,
+                                nheads=H, head_dim=D, pad=pad)
+    dq = pl.pallas_call(
+        dq_kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H, tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, V, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((width, 2 * C), k.dtype),
+            pltpu.VMEM((1, 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(qf, gf, stats3, kv_band, aux)
+
+    # ---- dk/dv over key tiles ----------------------------------------------
+    qp = jnp.pad(qf, ((0, 0), (pad, pad), (0, 0)))
+    gp = jnp.pad(gf, ((0, 0), (pad, pad), (0, 0)))
+    stats3p = jnp.pad(stats3, ((0, 0), (0, 0), (pad, pad)))
+    dkv_kern = functools.partial(_dkv_kernel, tile=tile, width=width,
+                                 nheads=H, head_dim=D, pad=pad)
+    dk, dv = pl.pallas_call(
+        dkv_kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, V, C), k.dtype),
+            jax.ShapeDtypeStruct((B, V, C), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((width, C), q.dtype),
+            pltpu.VMEM((width, C), g.dtype if hasattr(g, "dtype")
+                       else jnp.float32),
+            pltpu.VMEM((1, 3 * H, width), jnp.float32),
+            pltpu.VMEM((1, 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(k.reshape(B, V, C), v.reshape(B, V, C),
+      aux[:, :, pad:pad + V], qp, gp, stats3p, aux)
+
+    shape = (B, V, H, D)
+    return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape))
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp entry point
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -135,23 +368,21 @@ def band_attention_pallas(q, k, v, win_id, key_valid,
                           nbands: int = DEFAULT_NBANDS,
                           interpret: bool = False):
     """Pallas-fused exact windowed attention (see module docstring)."""
-    return _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
-                           interpret)
+    out, _ = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+                             interpret)
+    return out
 
 
 def _fwd(q, k, v, win_id, key_valid, tile, nbands, interpret):
-    out = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
-                          interpret)
-    return out, (q, k, v, win_id, key_valid)
+    out, stats = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+                                 interpret)
+    return out, (q, k, v, win_id, key_valid, out, stats)
 
 
 def _bwd(tile, nbands, interpret, res, g):
-    q, k, v, win_id, key_valid = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: band_attention_ref(
-            q_, k_, v_, win_id, key_valid=key_valid, tile=tile,
-            nbands=nbands), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, win_id, key_valid, out, stats = res
+    dq, dk, dv = _pallas_backward(q, k, v, win_id, key_valid, out, stats,
+                                  g, tile, nbands, interpret)
     return dq, dk, dv, None, None
 
 
