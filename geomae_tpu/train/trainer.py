@@ -35,7 +35,9 @@ class Trainer:
                  work_dir: str, total_steps: int,
                  with_rng: bool = True, seed: int = 0,
                  log_interval: int = 50, ckpt_interval: int = 1000,
-                 mesh=None, resume: bool = True):
+                 mesh=None, resume: bool = True,
+                 eval_fn: Optional[Callable] = None, eval_loader=None,
+                 eval_interval: int = 0):
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         self.logger = get_root_logger(os.path.join(self.work_dir, "train.log"))
@@ -54,6 +56,14 @@ class Trainer:
                                out_shardings=(repl, repl),
                                donate_argnums=(0,))
         self._bsh = bsh
+
+        # periodic evaluation hook — the reference's ``EvalHook`` driven by
+        # ``evaluation = dict(interval=...)`` (``configs/mae_sst/...6x_1e-5
+        # .py:291``); fires every ``eval_interval`` steps and once at the
+        # end of training.
+        self.eval_fn = eval_fn
+        self.eval_loader = eval_loader
+        self.eval_interval = eval_interval
 
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
@@ -79,7 +89,23 @@ class Trainer:
                 step += 1
                 self.metrics.log(step, metrics)
                 self.ckpt.save(self.state)
+                if (self.eval_fn is not None and self.eval_interval
+                        and step % self.eval_interval == 0):
+                    self.evaluate(step)
+        if self.eval_fn is not None and (
+                not self.eval_interval or step % self.eval_interval):
+            self.evaluate(step)
         self.ckpt.save(self.state, force=True)
         self.ckpt.wait()
         self.logger.info("training done at step %d", step)
         return self.state
+
+    def evaluate(self, step: int) -> dict:
+        """Run the eval hook and log its scalars under ``val/``."""
+        results = self.eval_fn(self.state, self.eval_loader)
+        scalars = {k: float(np.asarray(v)) for k, v in results.items()}
+        self.metrics.log(step, scalars, prefix="val", force=True)
+        self.logger.info(
+            "eval @ step %d: %s", step,
+            ", ".join(f"{k}={v:.4f}" for k, v in scalars.items()))
+        return results

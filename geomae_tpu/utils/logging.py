@@ -41,8 +41,9 @@ class MetricsLogger:
         self._t0 = time.perf_counter()
         self._last_step = 0
 
-    def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
-        if step % self.interval:
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = "train",
+            force: bool = False):
+        if step % self.interval and not force:
             return
         now = time.perf_counter()
         it_time = (now - self._t0) / max(step - self._last_step, 1)

@@ -84,3 +84,56 @@ def test_trainer_checkpoint_resume(tmp_path):
     assert int(tr2.state.step) == 3
     final2 = tr2.run()
     assert int(final2.step) == 5
+
+
+def test_trainer_eval_hook_fires_on_schedule(tmp_path):
+    """The periodic-eval hook (reference EvalHook contract) fires every
+    ``eval_interval`` steps plus once at the end."""
+    import json
+
+    from geomae_tpu.parallel.mesh import make_mesh
+    from geomae_tpu.train.pretrain import (dummy_batch, init_state,
+                                           make_eval_hook, make_train_step)
+    from geomae_tpu.train.trainer import Trainer
+
+    cfg = tiny_pretrain_config()
+    state, tx = init_state(cfg, batch_size=2, rng=jax.random.PRNGKey(0))
+    step = make_train_step(cfg, tx)
+
+    class Loader:
+        def __iter__(self):
+            for i in range(8):
+                yield {k: np.asarray(v) for k, v in
+                       dummy_batch(cfg, 2, seed=i).items()}
+
+    eval_batches = [{k: np.asarray(v) for k, v in
+                     dummy_batch(cfg, 2, seed=99).items()}]
+    calls = []
+    hook = make_eval_hook(cfg)
+
+    def eval_fn(st, loader):
+        out = hook(st, loader)
+        calls.append(dict(out))
+        return out
+
+    wd = str(tmp_path / "run_eval")
+    tr = Trainer(step, state, Loader(), wd, total_steps=5, ckpt_interval=100,
+                 mesh=make_mesh(2), eval_fn=eval_fn,
+                 eval_loader=eval_batches, eval_interval=2)
+    tr.run()
+    # interval=2 over 5 steps -> evals at 2, 4, and the final step 5
+    assert len(calls) == 3
+    assert all(np.isfinite(c["loss"]) for c in calls)
+    # val rows land in metrics.jsonl
+    with open(os.path.join(wd, "metrics.jsonl")) as f:
+        modes = [json.loads(l).get("mode") for l in f if l.strip()]
+    assert modes.count("val") == 3
+
+
+def test_gather_results_single_process():
+    from geomae_tpu.parallel.distributed import gather_results
+
+    local = [dict(a=np.arange(3)), dict(a=np.arange(2))]
+    out = gather_results(local)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0]["a"], np.arange(3))

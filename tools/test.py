@@ -52,24 +52,36 @@ def main():
     state = ckpt.restore(state)
     predict = jax.jit(FT.make_predict_fn(cfg))
 
-    preds, gts, tokens = [], [], []
+    # multi-process eval: each process strides over its share of frames and
+    # results are all-gathered afterwards (the reference's multi_gpu_test +
+    # collect_results contract, ``mmdet3d/apis/test.py:10``)
+    from geomae_tpu.parallel.distributed import gather_results
+
+    rank, world = jax.process_index(), jax.process_count()
+    my_frames = list(range(rank, n, world))
+    rows = []                                    # (token, pred, gt) triples
     bs = args.batch_size
-    for start in range(0, n, bs):
-        idxs = list(range(start, min(start + bs, n)))
+    for start in range(0, len(my_frames), bs):
+        idxs = my_frames[start:start + bs]
+        n_real = len(idxs)
         while len(idxs) < bs:
             idxs.append(idxs[-1])
         samples = [ds.__getitem__(i, seed=0) for i in idxs]
         batch = {k: np.stack([s[k] for s in samples])
                  for k in ("points", "point_valid")}
         det = predict(state, batch)
-        for j, i in enumerate(idxs[:min(bs, n - start)]):
+        for j, i in enumerate(idxs[:n_real]):
             v = np.asarray(det.valid[j])
-            preds.append(dict(boxes=np.asarray(det.boxes[j])[v],
-                              scores=np.asarray(det.scores[j])[v],
-                              labels=np.asarray(det.labels[j])[v]))
+            pred = dict(boxes=np.asarray(det.boxes[j])[v],
+                        scores=np.asarray(det.scores[j])[v],
+                        labels=np.asarray(det.labels[j])[v])
             b, l = ds.get_ann(i)
-            gts.append(dict(boxes=b, labels=l))
-            tokens.append(ds.infos[i].get("token", str(i)))
+            rows.append((ds.infos[i].get("token", str(i)), pred,
+                         dict(boxes=b, labels=l)))
+    rows = gather_results(rows)
+    tokens = [r[0] for r in rows]
+    preds = [r[1] for r in rows]
+    gts = [r[2] for r in rows]
 
     if args.out:
         payload = format_results_json(tokens, preds, NUS_CLASSES)

@@ -51,6 +51,11 @@ def parse_args():
                    help="tiny model config (CPU-friendly)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--cbgs", action="store_true", default=None)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run the eval hook every N steps (0 = end only; "
+                        "the reference's evaluation=dict(interval=...))")
+    p.add_argument("--eval-frames", type=int, default=8,
+                   help="frames per eval-hook pass")
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu); note JAX_PLATFORMS "
                         "env can be overridden by site TPU plugins")
@@ -131,11 +136,22 @@ def main():
                             seed=args.seed)
 
     rng = jax.random.PRNGKey(args.seed)
+    eval_fn = eval_loader = None
     if args.task == "pretrain":
-        from geomae_tpu.train.pretrain import init_state, make_train_step
+        from geomae_tpu.train.pretrain import (init_state, make_eval_hook,
+                                               make_train_step)
         state, tx = init_state(cfg, batch, rng)
         step = make_train_step(cfg, tx)
         with_rng = True
+        if args.eval_interval:
+            eval_fn = make_eval_hook(cfg)
+            n_eval = max(args.eval_frames // batch, 1)
+            eval_loader = [
+                {k: np.stack([ds.__getitem__((j * batch + i) % len(ds),
+                                             seed=10**6)[k]
+                              for i in range(batch)])
+                 for k in ("points", "point_valid")}
+                for j in range(n_eval)]
     else:
         from geomae_tpu.train.checkpoint import load_weights
         from geomae_tpu.train.finetune import init_state, make_train_step
@@ -148,7 +164,9 @@ def main():
 
     trainer = Trainer(step, state, loader, args.work_dir, total,
                       with_rng=with_rng, seed=args.seed,
-                      resume=not args.no_resume)
+                      resume=not args.no_resume,
+                      eval_fn=eval_fn, eval_loader=eval_loader,
+                      eval_interval=args.eval_interval)
     trainer.run()
 
 
