@@ -13,9 +13,17 @@ A100 => ~10.5 samples/s/GPU (BASELINE.json north star: >=2x that).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the full train step is one large XLA program;
+# caching makes warm bench runs start in seconds instead of minutes
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 

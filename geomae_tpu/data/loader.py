@@ -80,7 +80,11 @@ class PrefetchLoader:
                     bi, b = task_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = self._build_batch(b, base + bi * self.batch_size)
+                try:
+                    batch = self._build_batch(b, base + bi * self.batch_size)
+                except BaseException as e:   # surface in the consumer —
+                    out_q.put((bi, e))       # a silent worker death would
+                    return                   # hang the training loop
                 out_q.put((bi, batch))
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -93,6 +97,8 @@ class PrefetchLoader:
         for _ in range(nb):
             while next_bi not in pending:
                 bi, batch = out_q.get()
+                if isinstance(batch, BaseException):
+                    raise batch
                 pending[bi] = batch
             yield pending.pop(next_bi)
             next_bi += 1

@@ -80,4 +80,15 @@ def _abspath(path: str, data_root: str) -> str:
     # reference infos store paths relative to the repo cwd ("data/nuscenes/…")
     if os.path.exists(path):
         return path
+    cand = os.path.join(data_root, path)
+    if os.path.exists(cand):
+        return cand
+    # the info path may embed its own root prefix ("data/nuscenes/samples/
+    # LIDAR_TOP/x.bin" with data_root elsewhere): strip leading components
+    # until something resolves under data_root
+    parts = path.split("/")
+    for i in range(1, len(parts)):
+        cand = os.path.join(data_root, *parts[i:])
+        if os.path.exists(cand):
+            return cand
     return os.path.join(data_root, os.path.basename(path))

@@ -364,6 +364,13 @@ class GeoMAE(nn.Module):
         xavier = nn.initializers.xavier_uniform()
         head = lambda n, name: nn.Dense(n, dtype=dtype, kernel_init=xavier,
                                         name=name)
+        # NOTE: the low-resolution heads emit slots in CANONICAL slot_sort
+        # order (med-major relabeling of the reference's row-major
+        # slot_low) so the loss's point-space gather runs on ascending
+        # indices with a cumsum backward.  A Dense head's unit order is
+        # pure labeling — the torch importer permutes the reference
+        # weights' rows (train/torch_import.py), and
+        # ``predictions_slot_low_view`` converts back for export.
         preds = dict(
             reg_low=head(s_low * 3, "decoder_pred_low")(cent)
             .reshape(B, V, s_low, 3),
@@ -413,23 +420,19 @@ def _slot_sort_to_low(voxel):
     return out
 
 
-def _permute_slots(x: jnp.ndarray, perm, inv):
-    """Static permutation of axis 2 of ``x`` [B, V, S, k] with an explicit
-    inverse-permutation backward (a static-index scatter would otherwise
-    lower to a sort on TPU)."""
-
-    @jax.custom_vjp
-    def f(t):
-        return t[:, :, perm, :]
-
-    def fwd(t):
-        return t[:, :, perm, :], None
-
-    def bwd(_, g):
-        return (g[:, :, inv, :],)
-
-    f.defvjp(fwd, bwd)
-    return f(x)
+def predictions_slot_low_view(preds: dict, voxel) -> dict:
+    """Convert the low-resolution predictions from canonical slot_sort
+    order into the reference's row-major slot_low layout (for export /
+    parity against torch outputs).  ``view[..., slot_low, :]`` semantics:
+    the model's unit ``s_sort`` holds slot ``perm[s_sort]``."""
+    import numpy as np
+    perm = _slot_sort_to_low(voxel)
+    inv = np.argsort(perm)           # inv[slot_low] = s_sort
+    out = dict(preds)
+    for k in ("reg_low", "cls_low"):
+        if k in out:
+            out[k] = out[k][:, :, inv, :]
+    return out
 
 
 def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
@@ -462,12 +465,9 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
 
     # Point-space gathers below use ASCENDING (pillar, slot) indices so
     # take_rows_sorted gives them a cumsum backward instead of a scatter
-    # into the [B, V*S, k] prediction table.  slot_low is NOT ascending in
-    # canonical order, so the low-resolution predictions get their slot
-    # axis statically permuted into slot_sort order first.
-    import numpy as _np
-    perm_low = _slot_sort_to_low(cfg.voxel)
-    inv_low = _np.argsort(perm_low)
+    # into the [B, V*S, k] prediction table.  The low-resolution heads
+    # emit slots in canonical slot_sort order (see GeoMAE.__call__), so
+    # both low (slot_sort) and med (slot_med) gathers are ascending.
 
     def _pt_gather(flat, slot, s_num):
         idx = jnp.where(pt_ok, p2v_safe * s_num + slot, V * s_num)
@@ -488,8 +488,7 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
 
     losses = dict(
         loss_centroid_low=_sparse_reg(
-            _permute_slots(preds["reg_low"], perm_low, inv_low),
-            scene.slot_sort, cfg.voxel.num_slots_low,
+            preds["reg_low"], scene.slot_sort, cfg.voxel.num_slots_low,
             targets.low_last, targets.low_centroid) * m.loss_ratio_low,
         loss_centroid_med=_sparse_reg(
             preds["reg_med"], scene.slot_med, cfg.voxel.num_slots_med,
@@ -521,8 +520,7 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
             return (base + corr) / denom
 
         losses["loss_cls_low"] = _cls(
-            _permute_slots(preds["cls_low"], perm_low, inv_low),
-            scene.slot_sort, cfg.voxel.num_slots_low,
+            preds["cls_low"], scene.slot_sort, cfg.voxel.num_slots_low,
             targets.low_last) * m.cls_loss_ratio_low
         losses["loss_cls_med"] = _cls(
             preds["cls_med"], scene.slot_med, cfg.voxel.num_slots_med,

@@ -142,7 +142,11 @@ class EncoderLayer(nn.Module):
         c = self.cfg
         a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
                       name="win_attn")(x, shift_data)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
+        # LayerNorm statistics run in f32; cast the output back to the
+        # compute dtype so the residual stream stays bf16 (flax LayerNorm
+        # would otherwise silently promote every block to f32)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a).astype(
+            self.dtype)
         act = nn.gelu if c.activation == "gelu" else nn.relu
         h = nn.Dense(c.dim_feedforward, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
@@ -150,7 +154,8 @@ class EncoderLayer(nn.Module):
         h = nn.Dense(c.d_model, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear2")(act(h))
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h).astype(
+            self.dtype)
 
 
 class BasicShiftBlock(nn.Module):
@@ -168,13 +173,29 @@ class BasicShiftBlock(nn.Module):
         return x
 
 
+class _ScanBody(nn.Module):
+    """Scan step: one BasicShiftBlock; carry = token features."""
+
+    cfg: SSTConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, shift_datas):
+        x = BasicShiftBlock(self.cfg, self.dtype, name="block")(
+            x, shift_datas)
+        return x, None
+
+
 class SSTStack(nn.Module):
     """A stack of BasicShiftBlocks sharing pre-sorted shift data.
 
-    Each block is rematerialized (``nn.remat``): the attention weight
-    buffers are recomputed in the backward pass instead of stored, which is
-    what keeps the 20k-token decoder inside HBM (the reference exposes the
-    same trade via ``checkpoint_blocks``)."""
+    Blocks run under ``nn.scan`` with stacked parameters — XLA traces and
+    compiles ONE block body instead of unrolling N copies, which cuts the
+    full-model compile from ~8 min to tens of seconds at 16 blocks and
+    keeps the step graph small.  Each block is optionally rematerialized
+    (``nn.remat``): attention internals are recomputed in the backward
+    pass instead of stored (the reference exposes the same trade via
+    ``checkpoint_blocks``)."""
 
     cfg: SSTConfig
     num_blocks: int
@@ -183,9 +204,16 @@ class SSTStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        if self.num_blocks == 0:
+            return x
         remat = self.cfg.remat_blocks if self.remat is None else self.remat
-        block_cls = nn.remat(BasicShiftBlock) if remat else BasicShiftBlock
-        for i in range(self.num_blocks):
-            x = block_cls(self.cfg, self.dtype, name=f"block_{i}")(
-                x, shift_datas)
+        body = nn.remat(_ScanBody, prevent_cse=False) if remat else _ScanBody
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=self.num_blocks,
+        )
+        x, _ = scan(self.cfg, self.dtype, name="blocks")(x, shift_datas)
         return x

@@ -85,15 +85,27 @@ def _mha(sd, base, module, leaf):
     return _linear(sd, f"{base}.out_proj", leaf)
 
 
-def _block_base(path: Tuple[str, ...], prefix: str):
-    """('encoder','block_3','encoder_1', ...) -> reference layer base."""
-    stack = _STACKS[path[0]]
-    i = int(path[1].split("_")[1])
-    j = int(path[2].split("_")[1])
-    return f"{prefix}{stack}.{i}.encoder_list.{j}", path[3:]
+def _layer_leaf(sd, base: str, rest: Tuple[str, ...]):
+    """Resolve one EncoderLayer leaf under reference base key ``base``."""
+    if rest[0] == "win_attn":
+        return _mha(sd, f"{base}.win_attn.self_attn", rest[1], rest[2])
+    if rest[0] in ("linear1", "linear2"):
+        return _linear(sd, f"{base}.{rest[0]}", rest[1])
+    if rest[0] in ("norm1", "norm2"):
+        return sd[f"{base}.{rest[0]}."
+                  f"{'weight' if rest[1] == 'scale' else 'bias'}"]
+    return None
 
 
-def _resolve(path: Tuple[str, ...], sd, kind: str):
+def _stack_depth(sd, prefix: str, stack: str) -> int:
+    """Number of blocks present for one ModuleList in the state_dict."""
+    n = 0
+    while any(k.startswith(f"{prefix}{stack}.{n}.") for k in sd):
+        n += 1
+    return n
+
+
+def _resolve(path: Tuple[str, ...], sd, kind: str, voxel=None):
     """Value for one flax path (params or batch_stats), or None if the
     path has no reference counterpart."""
     prefix = "backbone."
@@ -109,20 +121,37 @@ def _resolve(path: Tuple[str, ...], sd, kind: str):
         return sd[f"{base}.norm.{_BN_SUFFIX[p[3]]}"]
 
     if p[0] in _STACKS and (kind == "pretrain" or p[0] == "encoder"):
-        base, rest = _block_base(p, prefix)
-        if rest[0] == "win_attn":
-            return _mha(sd, f"{base}.win_attn.self_attn", rest[1], rest[2])
-        if rest[0] in ("linear1", "linear2"):
-            return _linear(sd, f"{base}.{rest[0]}", rest[1])
-        if rest[0] in ("norm1", "norm2"):
-            return sd[f"{base}.{rest[0]}."
-                      f"{'weight' if rest[1] == 'scale' else 'bias'}"]
+        # flax path: (<stack>, 'blocks', 'block', 'encoder_<j>', ...) with
+        # nn.scan-stacked leaves — stack the per-block reference tensors
+        stack = _STACKS[p[0]]
+        assert p[1] == "blocks" and p[2] == "block", p
+        j = int(p[3].split("_")[1])
+        rest = p[4:]
+        n = _stack_depth(sd, prefix, stack)
+        vals = [_layer_leaf(sd, f"{prefix}{stack}.{i}.encoder_list.{j}",
+                            rest) for i in range(n)]
+        if n and vals[0] is not None:
+            return np.stack(vals)
+        return None
 
     if kind == "pretrain":
         if p[0] == "mask_token":
             return sd[f"{prefix}mask_token"]
         if p[0] in _HEADS:
-            return _linear(sd, f"{prefix}{p[0]}", p[1])
+            val = _linear(sd, f"{prefix}{p[0]}", p[1])
+            if p[0] in ("decoder_pred_low", "cls_pred_low",
+                        "decoder_pred_density_low"):
+                # our low-res heads emit canonical slot_sort units; the
+                # reference's are row-major slot_low — permute output rows
+                from ..config import VoxelConfig
+                from ..models.mae import _slot_sort_to_low
+
+                perm = _slot_sort_to_low(voxel or VoxelConfig())
+                s = len(perm)
+                k = val.shape[-1] // s
+                val = val.reshape(val.shape[:-1] + (s, k))[..., perm, :]
+                val = val.reshape(val.shape[:-2] + (s * k,))
+            return val
 
     if kind == "finetune":
         if p[0] == "second":
@@ -154,7 +183,7 @@ def _resolve(path: Tuple[str, ...], sd, kind: str):
 
 
 def import_torch_weights(params, batch_stats, sd: Dict[str, np.ndarray],
-                         kind: str):
+                         kind: str, voxel=None):
     """Overwrite every mappable leaf of (params, batch_stats) from ``sd``.
 
     Returns (params, batch_stats, report) where report lists matched /
@@ -168,7 +197,8 @@ def import_torch_weights(params, batch_stats, sd: Dict[str, np.ndarray],
         flat = tu.flatten_dict(tree)
         for path, old in flat.items():
             try:
-                val = _resolve(tuple(path), _TrackingDict(sd, consumed), kind)
+                val = _resolve(tuple(path), _TrackingDict(sd, consumed), kind,
+                               voxel)
             except KeyError:
                 val = None
             if val is None:

@@ -87,9 +87,9 @@ def test_pretrain_weight_import(cfg):
     pstate, _ = pre_init(pcfg, batch_size=1, rng=jax.random.PRNGKey(0))
     state, _ = FT.init_state(cfg, batch_size=1, rng=jax.random.PRNGKey(1),
                              pretrain_params=pstate.params)
-    # encoder block 0 q_proj kernel must equal the pretrain one
-    a = state.params["encoder"]["block_0"]["encoder_0"]["win_attn"]["q_proj"]["kernel"]
-    b = pstate.params["encoder"]["block_0"]["encoder_0"]["win_attn"]["q_proj"]["kernel"]
+    # encoder stacked block kernels must equal the pretrain ones
+    a = state.params["encoder"]["blocks"]["block"]["encoder_0"]["win_attn"]["q_proj"]["kernel"]
+    b = pstate.params["encoder"]["blocks"]["block"]["encoder_0"]["win_attn"]["q_proj"]["kernel"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # vfe too
     a = state.params["voxel_encoder"]["vfe_0"]["linear"]["kernel"]

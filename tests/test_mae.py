@@ -142,6 +142,12 @@ def test_sparse_loss_equals_dense_oracle(cfg, setup):
     )
     losses = mae.pretrain_loss(preds, tg, scene, keep, cfg)
 
+    # the low heads emit canonical slot_sort units; view them in the
+    # reference's slot_low layout for the dense-oracle comparison
+    view = mae.predictions_slot_low_view(
+        {k: preds[k] for k in ("reg_low", "cls_low")}, cfg.voxel)
+    preds = dict(preds, **{k: jnp.asarray(v) for k, v in view.items()})
+
     mask_rows = np.asarray(scene.table.valid) & ~np.asarray(keep)
     tot = dict(low=[], med=[], cls_low=[], cls_med=[])
     for b in range(B):
@@ -226,3 +232,22 @@ def test_grad_flow(cfg):
     norms = [float(jnp.linalg.norm(g)) for g in flat]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) > len(norms) * 0.9
+
+
+def test_slot_sort_to_low_matches_sub_voxel_slots(cfg):
+    """The static slot mapping table agrees with the per-point relabeling
+    in ops.voxelize.sub_voxel_slots for every in-pillar position."""
+    import numpy as np
+
+    from geomae_tpu.models.mae import _slot_sort_to_low
+    from geomae_tpu.ops.voxelize import sub_voxel_slots
+
+    voxel = cfg.voxel
+    rz, ry, rx = voxel.sub_voxel_ratio_low
+    z, y, x = np.meshgrid(np.arange(rz), np.arange(ry), np.arange(rx),
+                          indexing="ij")
+    low = jnp.asarray(np.stack([z.ravel(), y.ravel(), x.ravel()], -1))
+    slot_low, _, slot_sort = sub_voxel_slots(low, voxel)
+    perm = _slot_sort_to_low(voxel)
+    np.testing.assert_array_equal(perm[np.asarray(slot_sort)],
+                                  np.asarray(slot_low))

@@ -175,9 +175,10 @@ def test_mha_forward_parity(rng):
           np.asarray(v) for k, v in mha.state_dict().items()}
     p = {}
     for mod in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        # stacked path (nn.scan layout); slice block 0
         p[mod] = {leaf: jnp.asarray(_resolve(
-            ("encoder", "block_0", "encoder_0", "win_attn", mod, leaf),
-            sd, "pretrain")) for leaf in ("kernel", "bias")}
+            ("encoder", "blocks", "block", "encoder_0", "win_attn", mod,
+             leaf), sd, "pretrain")[0]) for leaf in ("kernel", "bias")}
 
     xp = np.zeros((1, V, C), np.float32)
     xp[0, :N] = x
