@@ -7,18 +7,15 @@ TPU-native rebuild of ``MultiSubVoxelDynamicVoxelNetSSL``
 
 Key re-designs (semantics preserved, layout TPU-first):
 
-* **Sparse point-space targets.** The reference materializes dense
-  ``[V, 128, 3]`` sub-voxel centroid tables through three voxelize+unique+
-  scatter passes (``..._ssl.py:674-722``).  On TPU every scatter lowers to
-  a sort, so instead the canonical (pillar, slot)-sorted scene is reduced
-  with *segmented scans*: each occupied sub-voxel's centroid lives at the
-  LAST point of its contiguous segment, and the loss gathers the dense
-  predictions at those (pillar, slot) positions — mathematically identical
-  to the dense masked mean (occupied slots <-> segments bijectively), with
-  zero scatters.
-* The occupancy BCE is computed as a dense all-negative term over the
-  predictions plus a sparse correction at occupied slots — again exactly
-  equal to the dense form.
+* **Dense targets via one one-hot cumsum.** The reference materializes
+  dense ``[V, 128, 3]`` sub-voxel centroid tables through three
+  voxelize+unique+scatter passes (``..._ssl.py:674-722``).  On TPU every
+  scatter lowers to a sort, so the tables are instead built from ONE
+  segmented cumsum of a one-hot outer product over the canonical
+  (pillar, slot)-sorted points; med/top sums are reshape-reductions of
+  the low sums.  The loss is then pure elementwise arithmetic over the
+  dense tables — its backward is elementwise (no gathers/sorts in the
+  differentiated graph).
 * The 3x3-neighborhood med-centroid gather for normals/curvature uses
   binary-searched canonical keys (``ops/voxelize.neighbor_rows``) instead
   of spconv's ``get_indice_pairs_implicit_gemm`` (``..._ssl.py:192-207``);
@@ -41,8 +38,7 @@ import jax.numpy as jnp
 from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
-from ..ops.scatter import _segment_bounds
-from ..ops.voxelize import Scene, low_voxel_coords, neighbor_rows
+from ..ops.voxelize import Scene, neighbor_rows
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .sst import SSTStack, prepare_shift_data
 from .vfe import DynamicScatterVFE
@@ -51,48 +47,22 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 class GeoMAETargets(NamedTuple):
-    """Sparse + small-dense geometric targets; (z, y, x) coordinate order.
+    """Dense geometric targets; (z, y, x) coordinate order.
 
-    ``low_last``/``med_last`` mark the LAST point of each occupied sub-voxel
-    segment in the canonical scene order; the corresponding normalized
-    centroid is valid at exactly those rows.
+    Sub-voxel tables are DENSE ``[B, V, S(, 3)]`` like the reference's
+    (``..._ssl.py:674-722``) so the loss is pure elementwise arithmetic
+    with a free backward — no gathers, no scatters, no sorts anywhere in
+    the differentiated region.  ``low_*`` tables use the reference's
+    row-major ``slot_low`` unit order (matching the heads).
     """
 
-    low_last: jnp.ndarray      # [B, P] bool
-    low_centroid: jnp.ndarray  # [B, P, 3] normalized, valid at low_last
-    med_last: jnp.ndarray      # [B, P] bool
-    med_centroid: jnp.ndarray  # [B, P, 3]
+    low_occ: jnp.ndarray       # [B, V, S_low] bool
+    low_tgt: jnp.ndarray       # [B, V, S_low, 3] normalized, 0 if empty
+    med_occ: jnp.ndarray       # [B, V, S_med] bool
+    med_tgt: jnp.ndarray       # [B, V, S_med, 3]
     centroid_top: jnp.ndarray  # [B, V, 3] normalized
     normal: jnp.ndarray        # [B, V, 3]
     curv: jnp.ndarray          # [B, V, 3] (unsupervised in shipped config)
-
-
-# ---------------------------------------------------------------------------
-# segmented scan helpers (point space, zero scatters)
-# ---------------------------------------------------------------------------
-
-
-def _seg_boundaries(key: jnp.ndarray, valid: jnp.ndarray):
-    """(first, last) flags of contiguous equal-key runs among valid rows."""
-    P = key.shape[0]
-    prv = jnp.concatenate([jnp.full((1,), -1, key.dtype), key[:-1]])
-    nxt = jnp.concatenate([key[1:], jnp.full((1,), -1, key.dtype)])
-    vprv = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
-    vnxt = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
-    first = valid & ((key != prv) | ~vprv)
-    last = valid & ((key != nxt) | ~vnxt)
-    return first, last
-
-
-def _seg_cumsum(first: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
-    """Segmented inclusive cumsum (resets at ``first``)."""
-
-    def op(a, b):
-        f1, v1 = a
-        f2, v2 = b
-        return (f1 | f2, jnp.where(f2[..., None], v2, v1 + v2))
-
-    return jax.lax.associative_scan(op, (first, vals), axis=0)[1]
 
 
 def _normalize_sub(cent_zyx, pillar_coords, slot, ratio, voxel):
@@ -122,13 +92,38 @@ def _normalize_sub(cent_zyx, pillar_coords, slot, ratio, voxel):
 # ---------------------------------------------------------------------------
 
 
+def _normalize_dense(raw, coords, slot_labels, ratio, voxel):
+    """Dense-table centroid normalization: ``raw`` [V, S, 3] raw meters,
+    ``coords`` [V, 2] pillar (y, x), ``slot_labels`` static int [S] in the
+    reference row-major hash of ``ratio``."""
+    v_cap, s = raw.shape[0], raw.shape[1]
+    pc = jnp.broadcast_to(coords[:, None, :], (v_cap, s, 2)).reshape(-1, 2)
+    sl = jnp.broadcast_to(jnp.asarray(slot_labels, jnp.int32)[None, :],
+                          (v_cap, s)).reshape(-1)
+    return _normalize_sub(raw.reshape(-1, 3), pc, sl, ratio,
+                          voxel).reshape(v_cap, s, 3)
+
+
 def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
-    """Pure target computation for one sample (vmap over batch)."""
+    """Pure target computation for one sample (vmap over batch).
+
+    The dense per-(pillar, slot) sums come from ONE segmented cumsum of a
+    one-hot outer product ``one_hot(slot)[:, :, None] * (zyx, 1)[:, None]``
+    over pillar segments — the slot axis (128) rides the TPU lane
+    dimension and the reduction is the same cumsum+boundary-gather used
+    everywhere else (no sort, no scatter; the reference builds the same
+    tables via three voxelize+unique+scatter passes, ``..._ssl.py:674-722``).
+    Med and top sums are pure reshape-reductions of the low sums because
+    ``slot_sort`` is med-major.
+    """
+    import numpy as np
+
     table = scene.table
     voxel = cfg.voxel
     ny, nx = voxel.grid_size
     v_cap = table.valid.shape[0]
     s_low, s_med = voxel.num_slots_low, voxel.num_slots_med
+    fan = s_low // s_med
     p2v = table.point2voxel
     valid = scene.valid & (p2v < v_cap)
     P = valid.shape[0]
@@ -136,54 +131,43 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
     zyx = scene.points[:, :3][:, ::-1].astype(jnp.float32)
     nvalid = jnp.maximum(jnp.sum(valid), 1)
     mu = jnp.sum(jnp.where(valid[:, None], zyx, 0), 0) / nvalid
+    # centered values keep the global cumsum a bounded random walk (fp32)
     vals4 = jnp.concatenate(
         [jnp.where(valid[:, None], zyx - mu, 0),
          valid[:, None].astype(jnp.float32)], -1)
 
-    key_low = p2v * s_low + scene.slot_sort
-    key_med = p2v * s_med + scene.slot_med
-    first_low, last_low = _seg_boundaries(key_low, valid)
-    first_med, last_med = _seg_boundaries(key_med, valid)
-    first_top, last_top = _seg_boundaries(p2v, valid)
+    oh = jax.nn.one_hot(scene.slot_sort, s_low, dtype=jnp.float32)
+    prod = (oh[:, :, None] * vals4[:, None, :]).reshape(P, s_low * 4)
+    sums = scatter.segment_sum(prod, p2v, v_cap,
+                               sorted_ids=True).reshape(v_cap, s_low, 4)
+    sums_med = sums.reshape(v_cap, s_med, fan, 4).sum(2)
+    sums_top = sums_med.sum(1)
 
-    scan_low = _seg_cumsum(first_low, vals4)
-    scan_med = _seg_cumsum(first_med, vals4)
-    scan_top = _seg_cumsum(first_top, vals4)
+    def _cent(s4, mu_add=True):
+        cnt = s4[..., 3]
+        raw = s4[..., :3] / jnp.maximum(cnt, 1.0)[..., None] + mu
+        return (cnt > 0.5), raw
 
-    # per-point pillar coords recomputed elementwise (no gather)
-    low_pt = low_voxel_coords(scene.points[:, :3], voxel)
-    ry, rx = voxel.sub_voxel_ratio_low[1], voxel.sub_voxel_ratio_low[2]
-    pillar_coords_pt = jnp.stack([low_pt[:, 1] // ry, low_pt[:, 2] // rx],
-                                 -1)
+    occ_sort, raw_sort = _cent(sums)            # slot_sort unit order
+    occ_med, raw_med = _cent(sums_med)          # slot_med order (med-major)
+    occ_top, top_raw = _cent(sums_top)          # [V]
 
-    def _centroid(scan, slot, ratio):
-        cnt = jnp.maximum(scan[:, 3], 1.0)
-        raw = scan[:, :3] / cnt[:, None] + mu
-        return raw, _normalize_sub(raw, pillar_coords_pt, slot, ratio, voxel)
+    perm = _slot_sort_to_low(voxel)             # perm[slot_sort] = slot_low
+    low_norm_sort = _normalize_dense(raw_sort, table.coords, perm,
+                                     voxel.sub_voxel_ratio_low, voxel)
+    med_norm = _normalize_dense(raw_med, table.coords, np.arange(s_med),
+                                voxel.sub_voxel_ratio_med, voxel)
+    top_norm = _normalize_dense(top_raw[:, None, :], table.coords, [0],
+                                (1, 1, 1), voxel)[:, 0]
 
-    _, low_norm = _centroid(scan_low, scene.slot_low,
-                            voxel.sub_voxel_ratio_low)
-    med_raw, med_norm = _centroid(scan_med, scene.slot_med,
-                                  voxel.sub_voxel_ratio_med)
-    top_raw_pt, top_norm_pt = _centroid(
-        scan_top, jnp.zeros_like(p2v), (1, 1, 1))
+    # reorder low tables into the reference's row-major slot_low layout
+    inv = np.argsort(perm)                       # inv[slot_low] = slot_sort
+    low_occ = occ_sort[:, inv]
+    low_tgt = jnp.where(low_occ[..., None], low_norm_sort[:, inv], 0.0)
 
-    # ---- dense per-pillar tables (V-scale, gathers only) -------------------
-    ends_v = _segment_bounds(p2v, v_cap)                     # [V]
-    starts_v = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_v[:-1]])
-    occ_v = ends_v > starts_v
-    lastpos_v = jnp.maximum(ends_v - 1, 0)
-    top_raw = jnp.where(occ_v[:, None], top_raw_pt[lastpos_v], 0.0)
-    c_top = jnp.where(occ_v[:, None], top_norm_pt[lastpos_v], 0.0)
-
-    ends_m = _segment_bounds(key_med, v_cap * s_med)         # [V*16]
-    starts_m = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_m[:-1]])
-    occ_med = (ends_m > starts_m).reshape(v_cap, s_med)
-    lastpos_m = jnp.maximum(ends_m - 1, 0)
-    med_table = jnp.where((ends_m > starts_m)[:, None],
-                          med_raw[lastpos_m], 0.0)
-    med_table = med_table.reshape(v_cap, s_med, 3)
-    # NOTE: med_table rows are in slot_MED layout by construction of key_med
+    c_top = jnp.where(occ_top[:, None], top_norm, 0.0)
+    top_raw = jnp.where(occ_top[:, None], top_raw, 0.0)
+    med_table = jnp.where(occ_med[..., None], raw_med, 0.0)
 
     # ---- normals & curvature from RAW med centroids ------------------------
     nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
@@ -201,10 +185,10 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
 
     vmask = table.valid
     return GeoMAETargets(
-        low_last=last_low,
-        low_centroid=jnp.where(last_low[:, None], low_norm, 0.0),
-        med_last=last_med,
-        med_centroid=jnp.where(last_med[:, None], med_norm, 0.0),
+        low_occ=low_occ,
+        low_tgt=low_tgt,
+        med_occ=occ_med,
+        med_tgt=jnp.where(occ_med[..., None], med_norm, 0.0),
         centroid_top=c_top,
         normal=jnp.where(vmask[:, None], normal, 0.0),
         curv=jnp.where(vmask[:, None], curv, 0.0),
@@ -364,13 +348,6 @@ class GeoMAE(nn.Module):
         xavier = nn.initializers.xavier_uniform()
         head = lambda n, name: nn.Dense(n, dtype=dtype, kernel_init=xavier,
                                         name=name)
-        # NOTE: the low-resolution heads emit slots in CANONICAL slot_sort
-        # order (med-major relabeling of the reference's row-major
-        # slot_low) so the loss's point-space gather runs on ascending
-        # indices with a cumsum backward.  A Dense head's unit order is
-        # pure labeling — the torch importer permutes the reference
-        # weights' rows (train/torch_import.py), and
-        # ``predictions_slot_low_view`` converts back for export.
         preds = dict(
             reg_low=head(s_low * 3, "decoder_pred_low")(cent)
             .reshape(B, V, s_low, 3),
@@ -420,64 +397,32 @@ def _slot_sort_to_low(voxel):
     return out
 
 
-def predictions_slot_low_view(preds: dict, voxel) -> dict:
-    """Convert the low-resolution predictions from canonical slot_sort
-    order into the reference's row-major slot_low layout (for export /
-    parity against torch outputs).  ``view[..., slot_low, :]`` semantics:
-    the model's unit ``s_sort`` holds slot ``perm[s_sort]``."""
-    import numpy as np
-    perm = _slot_sort_to_low(voxel)
-    inv = np.argsort(perm)           # inv[slot_low] = s_sort
-    out = dict(preds)
-    for k in ("reg_low", "cls_low"):
-        if k in out:
-            out[k] = out[k][:, :, inv, :]
-    return out
-
-
 def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
                   keep: jnp.ndarray, cfg: PretrainConfig) -> dict:
     """Masked multi-term loss (``forward_loss``, ``..._ssl.py:838-902``).
 
     * centroid MSE per sub-voxel (mean over 3 dims, mean over masked &
-      occupied sub-voxels) at low/med/top, weights 10/8/10 — computed by
-      gathering the dense predictions at each occupied segment;
+      occupied sub-voxels) at low/med/top, weights 10/8/10;
     * normal MSE on masked pillars, weight 4 (logged as ``loss_curv_around``
       to match the reference's misleading key);
     * occupancy BCE over 2 logits vs one-hot at low/med, weights 5/2, mean
       over every element of masked rows (mmdet ``CrossEntropyLoss
-      (use_sigmoid=True)`` semantics) — dense all-negative term + sparse
-      correction at occupied slots (exactly equal to the dense form).
+      (use_sigmoid=True)`` semantics).
+
+    Every term is elementwise over the dense target tables (targets carry
+    occupancy + centroids per (pillar, slot)), so the backward is
+    elementwise too — the loss adds no gathers/scatters/sorts to the
+    differentiated graph.
     """
     m = cfg.mae
     table = scene.table
-    B, V = keep.shape
-    valid_rows = table.valid
-    mask_rows = valid_rows & ~keep                   # [B, V] masked pillars
-    p2v = table.point2voxel                          # [B, P]
-    in_cap = p2v < V
-    pt_ok = in_cap & scene.valid                     # true on a prefix
-    p2v_safe = jnp.clip(p2v, 0, V - 1)
-    pt_masked = jnp.take_along_axis(mask_rows, p2v_safe, axis=1) \
-        & pt_ok                                      # [B, P]
+    mask_rows = table.valid & ~keep                  # [B, V] masked pillars
 
     f32 = lambda x: x.astype(jnp.float32)
 
-    # Point-space gathers below use ASCENDING (pillar, slot) indices so
-    # take_rows_sorted gives them a cumsum backward instead of a scatter
-    # into the [B, V*S, k] prediction table.  The low-resolution heads
-    # emit slots in canonical slot_sort order (see GeoMAE.__call__), so
-    # both low (slot_sort) and med (slot_med) gathers are ascending.
-
-    def _pt_gather(flat, slot, s_num):
-        idx = jnp.where(pt_ok, p2v_safe * s_num + slot, V * s_num)
-        return jax.vmap(scatter.take_rows_sorted)(flat, idx)
-
-    def _sparse_reg(pred, slot, s_num, seg_last, centroid):
-        flat = f32(pred).reshape(B, V * s_num, 3)
-        pred_pt = _pt_gather(flat, slot, s_num)
-        err = jnp.mean(jnp.square(pred_pt - f32(centroid)), axis=-1)
-        sel = seg_last & pt_masked
+    def _sub_reg(pred, occ, tgt):
+        err = jnp.mean(jnp.square(f32(pred) - tgt), axis=-1)   # [B, V, S]
+        sel = occ & mask_rows[:, :, None]
         cnt = jnp.maximum(jnp.sum(sel), 1)
         return jnp.sum(jnp.where(sel, err, 0)) / cnt
 
@@ -487,12 +432,10 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
         return jnp.sum(jnp.where(sel, err, 0)) / cnt
 
     losses = dict(
-        loss_centroid_low=_sparse_reg(
-            preds["reg_low"], scene.slot_sort, cfg.voxel.num_slots_low,
-            targets.low_last, targets.low_centroid) * m.loss_ratio_low,
-        loss_centroid_med=_sparse_reg(
-            preds["reg_med"], scene.slot_med, cfg.voxel.num_slots_med,
-            targets.med_last, targets.med_centroid) * m.loss_ratio_med,
+        loss_centroid_low=_sub_reg(preds["reg_low"], targets.low_occ,
+                                   targets.low_tgt) * m.loss_ratio_low,
+        loss_centroid_med=_sub_reg(preds["reg_med"], targets.med_occ,
+                                   targets.med_tgt) * m.loss_ratio_med,
         loss_centroid_top=_dense_reg(preds["reg_top"], targets.centroid_top,
                                      mask_rows) * m.loss_ratio_top,
         loss_curv_around=_dense_reg(preds["nor_top"], targets.normal,
@@ -500,30 +443,18 @@ def pretrain_loss(preds: dict, targets: GeoMAETargets, scene: Scene,
     )
 
     if m.cls_sub_voxel:
-        def _cls(logits, slot, s_num, seg_last):
+        def _cls(logits, occ):
             lg = f32(logits)                          # [B, V, S, 2]
-            # dense term: every slot of masked rows as if unoccupied
-            # (targets one-hot [1, 0])
-            base = _bce_with_logits(lg[..., 0], 1.0) \
-                + _bce_with_logits(lg[..., 1], 0.0)
-            base = jnp.sum(jnp.where(mask_rows[..., None], base, 0))
-            # sparse correction at occupied slots: swap target to [0, 1]
-            flat = lg.reshape(B, V * s_num, 2)
-            lg_pt = _pt_gather(flat, slot, s_num)
-            delta = (_bce_with_logits(lg_pt[..., 0], 0.0)
-                     + _bce_with_logits(lg_pt[..., 1], 1.0)) \
-                - (_bce_with_logits(lg_pt[..., 0], 1.0)
-                   + _bce_with_logits(lg_pt[..., 1], 0.0))
-            sel = seg_last & pt_masked
-            corr = jnp.sum(jnp.where(sel, delta, 0))
-            denom = jnp.maximum(jnp.sum(mask_rows) * s_num * 2, 1)
-            return (base + corr) / denom
+            t = occ.astype(jnp.float32)
+            bce = _bce_with_logits(lg[..., 0], 1.0 - t) \
+                + _bce_with_logits(lg[..., 1], t)
+            num = jnp.sum(jnp.where(mask_rows[:, :, None], bce, 0))
+            denom = jnp.maximum(jnp.sum(mask_rows) * occ.shape[-1] * 2, 1)
+            return num / denom
 
         losses["loss_cls_low"] = _cls(
-            preds["cls_low"], scene.slot_sort, cfg.voxel.num_slots_low,
-            targets.low_last) * m.cls_loss_ratio_low
+            preds["cls_low"], targets.low_occ) * m.cls_loss_ratio_low
         losses["loss_cls_med"] = _cls(
-            preds["cls_med"], scene.slot_med, cfg.voxel.num_slots_med,
-            targets.med_last) * m.cls_loss_ratio_med
+            preds["cls_med"], targets.med_occ) * m.cls_loss_ratio_med
     losses["loss"] = sum(losses.values())
     return losses

@@ -105,7 +105,7 @@ def _stack_depth(sd, prefix: str, stack: str) -> int:
     return n
 
 
-def _resolve(path: Tuple[str, ...], sd, kind: str, voxel=None):
+def _resolve(path: Tuple[str, ...], sd, kind: str):
     """Value for one flax path (params or batch_stats), or None if the
     path has no reference counterpart."""
     prefix = "backbone."
@@ -138,20 +138,7 @@ def _resolve(path: Tuple[str, ...], sd, kind: str, voxel=None):
         if p[0] == "mask_token":
             return sd[f"{prefix}mask_token"]
         if p[0] in _HEADS:
-            val = _linear(sd, f"{prefix}{p[0]}", p[1])
-            if p[0] in ("decoder_pred_low", "cls_pred_low",
-                        "decoder_pred_density_low"):
-                # our low-res heads emit canonical slot_sort units; the
-                # reference's are row-major slot_low — permute output rows
-                from ..config import VoxelConfig
-                from ..models.mae import _slot_sort_to_low
-
-                perm = _slot_sort_to_low(voxel or VoxelConfig())
-                s = len(perm)
-                k = val.shape[-1] // s
-                val = val.reshape(val.shape[:-1] + (s, k))[..., perm, :]
-                val = val.reshape(val.shape[:-2] + (s * k,))
-            return val
+            return _linear(sd, f"{prefix}{p[0]}", p[1])
 
     if kind == "finetune":
         if p[0] == "second":
@@ -183,7 +170,7 @@ def _resolve(path: Tuple[str, ...], sd, kind: str, voxel=None):
 
 
 def import_torch_weights(params, batch_stats, sd: Dict[str, np.ndarray],
-                         kind: str, voxel=None):
+                         kind: str):
     """Overwrite every mappable leaf of (params, batch_stats) from ``sd``.
 
     Returns (params, batch_stats, report) where report lists matched /
@@ -197,8 +184,7 @@ def import_torch_weights(params, batch_stats, sd: Dict[str, np.ndarray],
         flat = tu.flatten_dict(tree)
         for path, old in flat.items():
             try:
-                val = _resolve(tuple(path), _TrackingDict(sd, consumed), kind,
-                               voxel)
+                val = _resolve(tuple(path), _TrackingDict(sd, consumed), kind)
             except KeyError:
                 val = None
             if val is None:

@@ -84,38 +84,18 @@ def dense_oracle(scene_b, cfg, b):
     return c_low, occ_low, c_med, occ_med, c_top
 
 
-def test_sparse_targets_match_dense_oracle(cfg, setup):
+def test_dense_targets_match_oracle(cfg, setup):
     _, scene = setup
     tg = mae.compute_targets_batch(scene, cfg)
     b = 0
     c_low, occ_low, c_med, occ_med, c_top = dense_oracle(scene, cfg, b)
 
-    p2v = np.asarray(scene.table.point2voxel)[b]
-    sl = np.asarray(scene.slot_low)[b]
-    sm = np.asarray(scene.slot_med)[b]
-    ll = np.asarray(tg.low_last)[b]
-    lc = np.asarray(tg.low_centroid)[b]
-    ml = np.asarray(tg.med_last)[b]
-    mc = np.asarray(tg.med_centroid)[b]
-
-    # one last-row per occupied (v, slot); centroid matches oracle
-    seen = set()
-    for i in np.where(ll)[0]:
-        key = (int(p2v[i]), int(sl[i]))
-        assert key not in seen
-        seen.add(key)
-        assert occ_low[key]
-        np.testing.assert_allclose(lc[i], c_low[key], rtol=3e-3, atol=3e-3)
-    assert len(seen) == occ_low.sum()
-
-    seen = set()
-    for i in np.where(ml)[0]:
-        key = (int(p2v[i]), int(sm[i]))
-        assert key not in seen
-        seen.add(key)
-        assert occ_med[key]
-        np.testing.assert_allclose(mc[i], c_med[key], rtol=3e-3, atol=3e-3)
-    assert len(seen) == occ_med.sum()
+    np.testing.assert_array_equal(np.asarray(tg.low_occ)[b], occ_low)
+    np.testing.assert_array_equal(np.asarray(tg.med_occ)[b], occ_med)
+    np.testing.assert_allclose(np.asarray(tg.low_tgt)[b][occ_low],
+                               c_low[occ_low], rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(tg.med_tgt)[b][occ_med],
+                               c_med[occ_med], rtol=3e-3, atol=3e-3)
 
     got_top = np.asarray(tg.centroid_top)[b]
     tvalid = np.asarray(scene.table.valid)[b]
@@ -141,12 +121,6 @@ def test_sparse_loss_equals_dense_oracle(cfg, setup):
         cls_med=jnp.asarray(rng.normal(size=(B, V, M, 2)).astype(np.float32)),
     )
     losses = mae.pretrain_loss(preds, tg, scene, keep, cfg)
-
-    # the low heads emit canonical slot_sort units; view them in the
-    # reference's slot_low layout for the dense-oracle comparison
-    view = mae.predictions_slot_low_view(
-        {k: preds[k] for k in ("reg_low", "cls_low")}, cfg.voxel)
-    preds = dict(preds, **{k: jnp.asarray(v) for k, v in view.items()})
 
     mask_rows = np.asarray(scene.table.valid) & ~np.asarray(keep)
     tot = dict(low=[], med=[], cls_low=[], cls_med=[])

@@ -53,7 +53,7 @@ def main():
     sd = load_torch_state_dict(args.torch_ckpt)
     state, _ = init_state(cfg, 1, jax.random.PRNGKey(0))
     params, stats, report = import_torch_weights(
-        state.params, state.batch_stats, sd, args.kind, voxel=cfg.voxel)
+        state.params, state.batch_stats, sd, args.kind)
 
     print(f"matched {len(report['matched'])} leaves")
     if report["missing"]:
