@@ -104,17 +104,36 @@ def _normalize_dense(raw, coords, slot_labels, ratio, voxel):
                           voxel).reshape(v_cap, s, 3)
 
 
-def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
+def _centered_vals4(scene: Scene, v_cap: int):
+    """Batched (mu, vals4): per-sample-mean-centered (z, y, x, 1) rows,
+    zeroed at invalid points.  Centering keeps running sums a bounded
+    random walk (fp32 exactness of the counts is separate: 0/1 sums)."""
+    p2v = scene.table.point2voxel
+    valid = scene.valid & (p2v < v_cap)
+    zyx = scene.points[..., :3][..., ::-1].astype(jnp.float32)
+    nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    mu = jnp.sum(jnp.where(valid[..., None], zyx, 0), axis=-2) \
+        / nvalid[..., None]
+    vals4 = jnp.concatenate(
+        [jnp.where(valid[..., None], zyx - mu[..., None, :], 0),
+         valid[..., None].astype(jnp.float32)], -1)
+    return mu, vals4
+
+
+def compute_targets(scene: Scene, cfg: PretrainConfig,
+                    sums=None, mu=None) -> GeoMAETargets:
     """Pure target computation for one sample (vmap over batch).
 
-    The dense per-(pillar, slot) sums come from ONE segmented cumsum of a
-    one-hot outer product ``one_hot(slot)[:, :, None] * (zyx, 1)[:, None]``
-    over pillar segments — the slot axis (128) rides the TPU lane
-    dimension and the reduction is the same cumsum+boundary-gather used
-    everywhere else (no sort, no scatter; the reference builds the same
-    tables via three voxelize+unique+scatter passes, ``..._ssl.py:674-722``).
-    Med and top sums are pure reshape-reductions of the low sums because
-    ``slot_sort`` is med-major.
+    The dense per-(pillar, slot) sums come from ONE segmented reduction of
+    a one-hot outer product ``one_hot(slot)[:, :, None] * (zyx, 1)[:,
+    None]`` over pillar segments (no sort, no scatter; the reference
+    builds the same tables via three voxelize+unique+scatter passes,
+    ``..._ssl.py:674-722``).  On TPU the batch wrapper passes ``sums``
+    from the fused Pallas kernel (``ops.pallas_segreduce.slot_outer_
+    segment_sum_pallas``) which never materializes the [P, S*4] product;
+    elsewhere the product is built here and reduced with the segmented
+    cumsum.  Med and top sums are pure reshape-reductions of the low sums
+    because ``slot_sort`` is med-major.
     """
     import numpy as np
 
@@ -125,21 +144,14 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
     s_low, s_med = voxel.num_slots_low, voxel.num_slots_med
     fan = s_low // s_med
     p2v = table.point2voxel
-    valid = scene.valid & (p2v < v_cap)
-    P = valid.shape[0]
+    P = scene.valid.shape[0]
 
-    zyx = scene.points[:, :3][:, ::-1].astype(jnp.float32)
-    nvalid = jnp.maximum(jnp.sum(valid), 1)
-    mu = jnp.sum(jnp.where(valid[:, None], zyx, 0), 0) / nvalid
-    # centered values keep the global cumsum a bounded random walk (fp32)
-    vals4 = jnp.concatenate(
-        [jnp.where(valid[:, None], zyx - mu, 0),
-         valid[:, None].astype(jnp.float32)], -1)
-
-    oh = jax.nn.one_hot(scene.slot_sort, s_low, dtype=jnp.float32)
-    prod = (oh[:, :, None] * vals4[:, None, :]).reshape(P, s_low * 4)
-    sums = scatter.segment_sum(prod, p2v, v_cap,
-                               sorted_ids=True).reshape(v_cap, s_low, 4)
+    if sums is None:
+        mu, vals4 = _centered_vals4(scene, v_cap)
+        oh = jax.nn.one_hot(scene.slot_sort, s_low, dtype=jnp.float32)
+        prod = (oh[:, :, None] * vals4[:, None, :]).reshape(P, s_low * 4)
+        sums = scatter.segment_sum(prod, p2v, v_cap,
+                                   sorted_ids=True).reshape(v_cap, s_low, 4)
     sums_med = sums.reshape(v_cap, s_med, fan, 4).sum(2)
     sums_top = sums_med.sum(1)
 
@@ -195,7 +207,28 @@ def compute_targets(scene: Scene, cfg: PretrainConfig) -> GeoMAETargets:
     )
 
 
-def compute_targets_batch(scene: Scene, cfg: PretrainConfig):
+def _targets_use_pallas(scene: Scene, use_pallas) -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    from .sst import _is_tpu_backend
+    P = scene.valid.shape[-1]
+    return _is_tpu_backend() and P % 512 == 0
+
+
+def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
+                          use_pallas: bool | None = None):
+    """Batched targets.  On TPU the dense (pillar, slot) sums run through
+    the fused Pallas slot-outer kernel; ``use_pallas`` overrides the
+    auto-detection (tests force it through interpret mode)."""
+    v_cap = scene.table.valid.shape[-1]
+    if _targets_use_pallas(scene, use_pallas):
+        from ..ops.pallas_segreduce import slot_outer_segment_sum_pallas
+        mu, vals4 = _centered_vals4(scene, v_cap)
+        sums = slot_outer_segment_sum_pallas(
+            vals4, scene.slot_sort, scene.table.point2voxel,
+            cfg.voxel.num_slots_low, v_cap)
+        return jax.vmap(lambda s, sm, m: compute_targets(s, cfg, sm, m))(
+            scene, sums, mu)
     return jax.vmap(lambda s: compute_targets(s, cfg))(scene)
 
 

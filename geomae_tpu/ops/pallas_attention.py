@@ -8,10 +8,19 @@ tensor per layer (hundreds of MB per pass at 20k tokens); these kernels
 stream bands straight from HBM with async DMA and never write the weights
 anywhere.
 
+Band geometry: tokens of one window are contiguous in the sorted order and
+a window holds <= 144 tokens, so two same-window tokens are always within
+143 positions of each other — a band of ``pad`` >= 144 on each side of a
+query tile provably covers every same-window key.  ``pad`` is independent
+of the tile size (the einsum path rounds it up to whole tiles; here the
+band width ``tile + 2*pad`` only needs 128-lane alignment for the aux DMA
+slices), which cuts the pair-work per call from ``V * (128 + 2*256)`` to
+``V * (128 + 2*192)`` — 20% less at tile=128.
+
 Forward, per grid step (b, i): DMA the padded K/V band and a float32 aux
 band (window id + key-validity channels; ids < 2^24 are exact in f32,
 which sidesteps Mosaic's int32 slice-tiling limits) for positions
-``[i*tile, i*tile + width)`` into VMEM, compute per-head
+``[i*tile - pad, i*tile + tile + pad)`` into VMEM, compute per-head
 ``softmax(q K^T / sqrt(d) + mask) V`` with the same -1e9 masking and
 empty-row -> 0 semantics as the einsum path, and write the [tile, C]
 output block plus the per-row softmax stats (running max m, normalizer l)
@@ -42,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 128
-DEFAULT_NBANDS = 2
+DEFAULT_PAD = 192        # >= max window occupancy (144); width 128-aligned
 _PAD_WIN = -1.0
 _NEG = -1e9
 _EPS = 1e-20
@@ -63,7 +72,7 @@ def _band_inputs(q, k, v, win_id, key_valid, pad):
         jnp.pad(win_f, ((0, 0), (pad, pad)), constant_values=_PAD_WIN),
         jnp.pad(key_valid.astype(jnp.float32), ((0, 0), (pad, pad))),
     ], axis=1)                                      # [B, 2, Vp]
-    return qf, kf, vf, aux
+    return qf, kf, vf, aux, win_f
 
 
 # ---------------------------------------------------------------------------
@@ -71,9 +80,8 @@ def _band_inputs(q, k, v, win_id, key_valid, pad):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
-                kbuf, vbuf, auxbuf, sems, *, tile, width, nheads, head_dim,
-                pad):
+def _fwd_kernel(q_ref, winq_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
+                kbuf, vbuf, auxbuf, sems, *, tile, width, nheads, head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
     start = i * tile
@@ -94,8 +102,7 @@ def _fwd_kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
     q = q_ref[0]                                   # [tile, C]
     wink = auxbuf[0, 0, :]                         # [width] f32 window ids
     kvk = auxbuf[0, 1, :]                          # [width] f32 validity
-    # the query tile's window ids are the middle slice of the band
-    winq = auxbuf[0, 0, pad:pad + tile]            # [tile]
+    winq = winq_ref[0, 0, :]                       # [tile] query window ids
     mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
 
     scale = 1.0 / (head_dim ** 0.5)
@@ -116,22 +123,25 @@ def _fwd_kernel(q_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
         stats_ref[0, nheads + h, :] = l[:, 0]
 
 
-def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
                     interpret=False):
     B, V, H, D = q.shape
     C = H * D
     nt = V // tile
-    pad = nbands * tile
     width = tile + 2 * pad
-    qf, kf, vf, aux = _band_inputs(q, k, v, win_id, key_valid, pad)
+    if not interpret:   # Mosaic: lane-dim DMA slices must be 128-aligned
+        assert width % 128 == 0, (tile, pad)
+    qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
 
     kern = functools.partial(_fwd_kernel, tile=tile, width=width, nheads=H,
-                             head_dim=D, pad=pad)
+                             head_dim=D)
     out, stats = pl.pallas_call(
         kern,
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -154,7 +164,7 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(qf, kf, vf, aux)
+    )(qf, win_f[:, None, :], kf, vf, aux)
     return out.reshape(B, V, H, D), stats
 
 
@@ -163,8 +173,8 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, do_ref, st_ref, k_hbm, aux_hbm, dq_ref,
-               kbuf, auxbuf, sems, *, tile, width, nheads, head_dim, pad):
+def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
+               kbuf, auxbuf, sems, *, tile, width, nheads, head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
     start = i * tile
@@ -182,7 +192,7 @@ def _dq_kernel(q_ref, do_ref, st_ref, k_hbm, aux_hbm, dq_ref,
     do = do_ref[0]
     wink = auxbuf[0, 0, :]
     kvk = auxbuf[0, 1, :]
-    winq = auxbuf[0, 0, pad:pad + tile]
+    winq = winq_ref[0, 0, :]
     mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
 
     scale = 1.0 / (head_dim ** 0.5)
@@ -210,7 +220,7 @@ def _dq_kernel(q_ref, do_ref, st_ref, k_hbm, aux_hbm, dq_ref,
 
 def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, st_hbm, aux_hbm,
                 dk_ref, dv_ref, qbuf, dobuf, stbuf, auxbuf, sems, *,
-                tile, width, nheads, head_dim, pad):
+                tile, width, nheads, head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
     start = i * tile
@@ -266,14 +276,13 @@ def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, st_hbm, aux_hbm,
 
 
 def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
-                     tile, nbands, interpret=False):
+                     tile, pad, interpret=False):
     B, V, H, D = q.shape
     C = H * D
     nt = V // tile
-    pad = nbands * tile
     width = tile + 2 * pad
 
-    qf, kf, vf, aux = _band_inputs(q, k, v, win_id, key_valid, pad)
+    qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
     gf = g.reshape(B, V, C)
     # D_i = sum_d dO_id O_id per head — tiny elementwise reduction
     dvo = jnp.einsum("bvhd,bvhd->bhv", g.astype(jnp.float32),
@@ -285,7 +294,7 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
     # DMA streams both ([B, Vp, 2C])
     kv_band = jnp.concatenate([kf, vf], axis=-1)
     dq_kern = functools.partial(_dq_kernel, tile=tile, width=width,
-                                nheads=H, head_dim=D, pad=pad)
+                                nheads=H, head_dim=D)
     dq = pl.pallas_call(
         dq_kern,
         grid=(B, nt),
@@ -295,6 +304,8 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * H, tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -308,14 +319,14 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(qf, gf, stats3, kv_band, aux)
+    )(qf, gf, stats3, win_f[:, None, :], kv_band, aux)
 
     # ---- dk/dv over key tiles ----------------------------------------------
     qp = jnp.pad(qf, ((0, 0), (pad, pad), (0, 0)))
     gp = jnp.pad(gf, ((0, 0), (pad, pad), (0, 0)))
     stats3p = jnp.pad(stats3, ((0, 0), (0, 0), (pad, pad)))
     dkv_kern = functools.partial(_dkv_kernel, tile=tile, width=width,
-                                 nheads=H, head_dim=D, pad=pad)
+                                 nheads=H, head_dim=D)
     dk, dv = pl.pallas_call(
         dkv_kern,
         grid=(B, nt),
@@ -365,24 +376,24 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def band_attention_pallas(q, k, v, win_id, key_valid,
                           tile: int = DEFAULT_TILE,
-                          nbands: int = DEFAULT_NBANDS,
+                          pad: int = DEFAULT_PAD,
                           interpret: bool = False):
     """Pallas-fused exact windowed attention (see module docstring)."""
-    out, _ = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+    out, _ = _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
                              interpret)
     return out
 
 
-def _fwd(q, k, v, win_id, key_valid, tile, nbands, interpret):
-    out, stats = _pallas_forward(q, k, v, win_id, key_valid, tile, nbands,
+def _fwd(q, k, v, win_id, key_valid, tile, pad, interpret):
+    out, stats = _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
                                  interpret)
     return out, (q, k, v, win_id, key_valid, out, stats)
 
 
-def _bwd(tile, nbands, interpret, res, g):
+def _bwd(tile, pad, interpret, res, g):
     q, k, v, win_id, key_valid, out, stats = res
     dq, dk, dv = _pallas_backward(q, k, v, win_id, key_valid, out, stats,
-                                  g, tile, nbands, interpret)
+                                  g, tile, pad, interpret)
     return dq, dk, dv, None, None
 
 

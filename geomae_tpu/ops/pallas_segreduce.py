@@ -1,45 +1,47 @@
 """Pallas segmented reduce / gather over sorted dense segment ids.
 
 The workhorses behind the VFE's point<->pillar traffic and the GeoMAE
-centroid sums.  XLA's alternatives are all bandwidth-catastrophic on TPU:
-scatter-adds sort internally (~90 ms/batch), ``associative_scan`` makes
-log(N) full passes, and row gathers run at ~25 M rows/s (~40 ms for one
-262k-point gather-back).  Both kernels here make ONE pass over the
-[B, P, C] point data in chunks, with all per-chunk scalars (first id, open
--segment continuation, output window start) precomputed OUTSIDE the kernel
-and delivered via scalar prefetch — extracting scalars from VMEM vectors
-inside the kernel costs ~µs each and dominated the v1 runtime.
+dense target tables.  XLA's alternatives are all bandwidth-catastrophic on
+TPU: scatter-adds sort internally, ``associative_scan`` makes log(N)
+passes with strided access, and row gathers run at ~25 M rows/s.  The
+reference uses CUDA ``torch_scatter`` kernels for the same ops
+(``/root/reference/mmdet3d/ops/voxel/scatter_points.py:9-107``).
 
-* ``segment_reduce_pallas`` (sum/max): SUM is a per-chunk one-hot matmul
-  ``W[j] = sum_t x[t] * (seg[t]-seg0 == j)`` on the MXU — no scan; the
-  chunk's first row additionally receives the running carry.  MAX runs a
-  Hillis-Steele segmented scan (log2(T) masked ``pltpu.roll`` steps) and
-  routes segment-END rows with a (permutation) one-hot matmul.  Both write
-  output rows [seg0, seg0 + T) with a dynamic-start DMA per batch row;
-  because ids ascend, a segment's CLOSING chunk is the last writer of its
-  row, so earlier partial/dummy window writes are safely overwritten (the
-  grid is sequential).
-* ``segment_gather_pallas``: the transpose — DMA-reads table rows
-  [seg0, seg0 + T) into VMEM and routes them to points with the transposed
-  one-hot matmul (exact: one 0/1 coefficient per row).  Replaces the
-  gather-back broadcasts (``scatter_v2``'s gather side, reference
-  ``voxel_encoder.py:400-412``).
+Design: the OUTPUT TABLE LIVES IN VMEM for a whole batch row ([V, 128]
+f32 = 10.5 MB at V=20480 — under the ~16 MB/core budget), as a pipelined
+output block revisited across the chunk grid.  Each grid step streams one
+chunk of points and routes it with a one-hot matmul on the MXU:
+
+  sum:  out[seg0 + j] += sum_t (seg[t]-seg0 == j) * x[t]
+  max:  in-chunk segmented max (log2(chunk) masked rolls), then route
+        segment-end rows and max-accumulate into the table.
+
+Accumulating (+= / max=) into the resident table makes per-chunk partial
+results just work — no carry state, no overlapping-window DMA dance, and
+the Pallas pipeline handles all data movement.  ``segment_gather_pallas``
+is the transpose: the TABLE is resident and each chunk routes table rows
+to points with the transposed one-hot.
+
+``slot_outer_segment_sum_pallas`` fuses the GeoMAE target build
+(``models/mae.py:compute_targets``): instead of materializing the
+``[P, S*4]`` one-hot outer product in HBM (537 MB/sample) and cumsum-ing
+it, the kernel builds each chunk's ``vals ⊗ one_hot(slot)`` block in VMEM
+via iota arithmetic and routes it with the same pillar one-hot matmul.
+Slot groups ride an extra grid dimension so the resident table stays
+[V, 128] f32.
 
 Ids are passed as exact float32 (ids < 2^24) to sidestep Mosaic's int32
-slice-tiling limits.  The caller pads ids with a trailing sentinel segment
-(id = num_segments) so the last real segment closes.
+slice-tiling limits.  CONTRACT (beyond ascending ids): within any one
+chunk of positions, every non-sentinel id must satisfy
+``id - chunk_first_id < chunk`` — the one-hot window only addresses
+``chunk`` rows.  Dense rank ids (0,0,1,2,2,...) as produced by
+``voxelize.build_scene``'s ``point2voxel`` satisfy this for any chunk
+size.  Rows of empty segments are 0 for sum and the neutral -3e38 -> 0
+masked by callers for max.
 
-CONTRACT (beyond ascending ids): within any one chunk of positions, every
-non-sentinel id must satisfy ``id - chunk_first_id < chunk`` — the one-hot
-window only addresses ``chunk`` rows.  Dense rank ids (0,0,1,2,2,... with
-no skips, as produced by ``voxelize.build_scene``'s ``point2voxel``)
-satisfy this for any chunk size; arbitrary sparse ids do NOT.  Reduce
-rows after the last closed segment are garbage — callers mask with their
-row-validity (``table.valid``).  Gather outputs for sentinel ids are 0.
-
-Backward (custom VJP): sum -> gather of the cotangent at each point's
-segment; max -> gather + equality routing (ties share gradient);
-gather -> segment sum of the cotangents.
+Backward (custom VJP): sum -> pallas gather of the cotangent at each
+point's segment; max -> gather + equality routing (ties share gradient);
+gather -> pallas segment sum of the cotangents.
 """
 from __future__ import annotations
 
@@ -50,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_CHUNK = 256
+DEFAULT_CHUNK = 512
 _NEG = -3.0e38
 
 
@@ -63,131 +65,100 @@ def _pad_channels(x, is_max):
     return x, Cp
 
 
-def _chunk_meta(seg_ids, num_segments, chunk):
-    """[3, B, nsteps] int32: first id, continuation flag, clipped start."""
-    seg0 = seg_ids[:, ::chunk]
-    prev_last = jnp.concatenate(
-        [jnp.full_like(seg_ids[:, :1], -1), seg_ids[:, chunk - 1::chunk]],
-        axis=1)[:, :seg0.shape[1]]
-    cont = (seg0 == prev_last).astype(jnp.int32)
-    start = jnp.clip(seg0, 0, num_segments)
-    return jnp.stack([seg0, cont, start]).astype(jnp.int32)
+def _seg0_meta(seg_ids, num_segments, chunk):
+    """[B, nsteps] int32 clipped first id per chunk (scalar prefetch)."""
+    return jnp.clip(seg_ids[:, ::chunk], 0, num_segments).astype(jnp.int32)
 
 
-def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, carry, wbuf, sems, *,
-                   chunk, batch, is_max, exact):
-    i = pl.program_id(0)
+def _rows_pad(num_segments, chunk):
+    """Output row count: table + one-hot overhang, sublane-aligned."""
+    return ((num_segments + chunk + 7) // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# segmented reduce (sum / max)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_kernel(meta_ref, x_ref, seg_ref, out_ref, *, chunk, is_max):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     neutral = _NEG if is_max else 0.0
-    prec = (jax.lax.Precision.HIGHEST if exact
-            else jax.lax.Precision.DEFAULT)
 
     @pl.when(i == 0)
     def _():
-        carry[...] = jnp.full_like(carry, neutral)
+        out_ref[...] = jnp.full_like(out_ref, neutral)
 
-    j = jax.lax.broadcasted_iota(            # out row (f32 for the
-        jnp.int32, (chunk, chunk), 0).astype(jnp.float32)  # id compare)
-    copies = []
-    for b in range(batch):
-        x = x_ref[b].astype(jnp.float32)          # [T, C]
-        seg = seg_ref[b, :, 0:1]                  # [T, 1] f32 ids
-        seg0 = meta_ref[0, b, i].astype(jnp.float32)
-        cont = meta_ref[1, b, i] == 1
-        relf = seg - seg0                         # [T, 1] f32 relative id
-        is_last = seg == seg[chunk - 1:chunk]     # vector-vector compare
-        cvals = carry[b:b + 1, :]                 # [1, C]
+    x = x_ref[0].astype(jnp.float32)              # [T, C]
+    seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids
+    seg0 = meta_ref[b, i].astype(jnp.float32)
+    rel = seg - seg0                              # [T, 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) \
+        .astype(jnp.float32)                      # out row per one-hot row
+    start = meta_ref[b, i]
 
-        if is_max:
-            x = jnp.where((relf == 0.0) & cont, jnp.maximum(x, cvals), x)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-            k = 1
-            while k < chunk:
-                x_s = pltpu.roll(x, k, 0)
-                seg_s = pltpu.roll(seg, k, 0)
-                ok = (pos >= k) & (seg == seg_s)
-                x = jnp.maximum(x, jnp.where(ok, x_s, neutral))
-                k *= 2
-            is_end = seg != seg_ref[b, :, 1:2]
-            E = (relf[:, 0][None, :] == j) & is_end[:, 0][None, :]
-            W = jax.lax.dot_general(E.astype(jnp.float32), x,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)
-            new_carry = jnp.max(jnp.where(is_last, x, neutral),
-                                axis=0, keepdims=True)
-        else:
-            E = relf[:, 0][None, :] == j
-            W = jax.lax.dot_general(E.astype(jnp.float32), x,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)
-            first = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) == 0
-            W = jnp.where(first & cont, W + cvals, W)
-            new_carry = jnp.sum(jnp.where(is_last, x, 0.0),
-                                axis=0, keepdims=True)
-
-        carry[b:b + 1, :] = new_carry
-        start = meta_ref[2, b, i]
-        slot = i % 2
-        # consecutive output windows OVERLAP (rows of still-open segments
-        # are rewritten by the closing chunk), so step i's write must not
-        # race step i-1's: wait the previous DMA (same byte count — the
-        # descriptor is only used for its size) before issuing.  The wait
-        # lands after this step's compute, so the previous write's latency
-        # hides behind the matmuls.
-        @pl.when(i > 0)
-        def _():
-            pltpu.make_async_copy(
-                wbuf.at[1 - slot, b], out_hbm.at[b, pl.ds(start, chunk), :],
-                sems.at[1 - slot, b]).wait()
-        wbuf[slot, b] = W.astype(wbuf.dtype)
-        cp = pltpu.make_async_copy(
-            wbuf.at[slot, b], out_hbm.at[b, pl.ds(start, chunk), :],
-            sems.at[slot, b])
-        cp.start()
-        copies.append(cp)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        for cp in copies:
-            cp.wait()
+    if is_max:
+        # in-chunk segmented max: Hillis-Steele with masked rolls
+        pos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        k = 1
+        while k < chunk:
+            x_s = pltpu.roll(x, k, 0)
+            seg_s = pltpu.roll(seg, k, 0)
+            ok = (pos >= k) & (seg == seg_s)
+            x = jnp.maximum(x, jnp.where(ok, x_s, neutral))
+            k *= 2
+        # route every LOCAL segment tail (incl. the chunk's last row) and
+        # max-accumulate — a segment spanning chunks combines in the table
+        # next-row id via circular roll by chunk-1 (== shift -1); the wrap
+        # row is forced to be an end anyway
+        is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
+        E = ((rel[:, 0][None, :] == j) & is_end[:, 0][None, :]) \
+            .astype(jnp.float32)
+        W = jax.lax.dot_general(E, x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        has_end = jax.lax.dot_general(
+            E, jnp.ones((chunk, 1), jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) > 0.5
+        W = jnp.where(has_end, W, neutral)
+        cur = out_ref[0, pl.ds(start, chunk), :]
+        out_ref[0, pl.ds(start, chunk), :] = jnp.maximum(cur, W)
+    else:
+        E = (rel[:, 0][None, :] == j).astype(jnp.float32)
+        W = jax.lax.dot_general(E, x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        cur = out_ref[0, pl.ds(start, chunk), :]
+        out_ref[0, pl.ds(start, chunk), :] = cur + W
 
 
 def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
     B, P, C = x.shape
     assert P % chunk == 0, (P, chunk)
-    exact = x.dtype == jnp.float32 and not is_max
     x, Cp = _pad_channels(x, is_max)
     seg_f = seg_ids.astype(jnp.float32)
     nxt = jnp.concatenate(
         [seg_f[:, 1:], jnp.full((B, 1), -2.0, jnp.float32)], axis=1)
     seg2 = jnp.stack([seg_f, nxt], axis=-1)    # [B, P, 2]
-    meta = _chunk_meta(seg_ids, num_segments, chunk)
+    meta = _seg0_meta(seg_ids, num_segments, chunk)
+    rows = _rows_pad(num_segments, chunk)
 
-    kern = functools.partial(_reduce_kernel, chunk=chunk, batch=B,
-                             is_max=bool(is_max), exact=exact)
+    kern = functools.partial(_reduce_kernel, chunk=chunk,
+                             is_max=bool(is_max))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(P // chunk,),
+        grid=(B, P // chunk),
         in_specs=[
-            pl.BlockSpec((B, chunk, Cp), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, chunk, Cp), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, chunk, 2), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((B, Cp), jnp.float32),
-            pltpu.VMEM((2, B, chunk, Cp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, B)),
-        ],
+        out_specs=pl.BlockSpec((1, rows, Cp), lambda b, i, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, num_segments + chunk + 1, Cp),
-                                       jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_shape=jax.ShapeDtypeStruct((B, rows, Cp), jnp.float32),
     )(meta, x, seg2)
     return out[:, :num_segments, :C]
 
@@ -197,8 +168,8 @@ def segment_reduce_pallas(x, seg_ids, num_segments: int, is_max: bool,
                           chunk: int = DEFAULT_CHUNK):
     """Segmented sum/max of ``x`` [B, P, C] over ASCENDING ``seg_ids``
     [B, P] (int32; ids >= num_segments = padding suffix).  Returns
-    [B, num_segments, C] float32; rows of empty segments are garbage —
-    callers mask with their row-validity."""
+    [B, num_segments, C] float32; empty-segment rows are 0 (sum) or the
+    neutral -3e38 (max) — callers mask with their row-validity."""
     return _reduce_forward(x, seg_ids, num_segments, is_max, chunk)
 
 
@@ -207,17 +178,34 @@ def _reduce_fwd(x, seg_ids, num_segments, is_max, chunk):
     return out, (x, seg_ids, out)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _bwd_gather(table, seg_ids, num_segments, chunk):
+    """Cotangent broadcast-back: pallas on TPU, XLA rows gather elsewhere
+    (custom-VJP bodies trace outside any interpret-mode context)."""
+    if _on_tpu():
+        return segment_gather_pallas(table, seg_ids, chunk)
+    safe = jnp.clip(seg_ids, 0, num_segments - 1)
+    rows = jnp.take_along_axis(table, safe[..., None], axis=1)
+    ok = (seg_ids >= 0) & (seg_ids < num_segments)
+    return jnp.where(ok[..., None], rows, 0.0)
+
+
 def _reduce_bwd(num_segments, is_max, chunk, res, g):
     x, seg_ids, out = res
-    safe = jnp.clip(seg_ids, 0, num_segments - 1)
-    g_pt = jnp.take_along_axis(g, safe[..., None], axis=1)
-    ok = (seg_ids >= 0) & (seg_ids < num_segments)
+    g_pt = _bwd_gather(g.astype(jnp.float32), seg_ids, num_segments, chunk)
     if is_max:
-        out_pt = jnp.take_along_axis(out, safe[..., None], axis=1)
+        out_pt = _bwd_gather(out, seg_ids, num_segments, chunk)
+        ok = (seg_ids >= 0) & (seg_ids < num_segments)
         hit = (x.astype(jnp.float32) == out_pt) & ok[..., None]
         dx = jnp.where(hit, g_pt, 0.0)
     else:
-        dx = jnp.where(ok[..., None], g_pt, 0.0)
+        dx = g_pt                      # gather already zeroes sentinel rows
     return dx.astype(x.dtype), None
 
 
@@ -225,44 +213,110 @@ segment_reduce_pallas.defvjp(_reduce_fwd, _reduce_bwd)
 
 
 # ---------------------------------------------------------------------------
-# segment gather (broadcast table rows back to sorted points)
+# fused slot-outer segment sum (GeoMAE dense target tables)
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, wnd, sems, *,
-                   chunk, batch):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    j = jax.lax.broadcasted_iota(            # window row
-        jnp.int32, (chunk, chunk), 1).astype(jnp.float32)
-    slot = i % 2
 
-    def issue(step, s):
-        for b in range(batch):
-            pltpu.make_async_copy(
-                table_hbm.at[b, pl.ds(meta_ref[2, b, step], chunk), :],
-                wnd.at[s, b], sems.at[s, b]).start()
+def _slot_kernel(meta_ref, vals_ref, seg_ref, out_ref, *, chunk, cv,
+                 group_slots):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
-        issue(0, 0)
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    # prefetch the NEXT window while this one computes (reads don't race;
-    # starts come from scalar prefetch so they're known ahead of time)
-    @pl.when(i + 1 < n)
-    def _():
-        issue(i + 1, 1 - slot)
+    lanes = group_slots * cv
+    vals = vals_ref[0].astype(jnp.float32)        # [T, cv]
+    seg = seg_ref[0, :, 0:1]                      # [T, 1] pillar ids (f32)
+    slot = seg_ref[0, :, 1:2]                     # [T, 1] slot ids (f32)
+    seg0 = meta_ref[b, i].astype(jnp.float32)
+    rel = seg - seg0
 
-    for b in range(batch):
-        pltpu.make_async_copy(
-            table_hbm.at[b, pl.ds(meta_ref[2, b, i], chunk), :],
-            wnd.at[slot, b], sems.at[slot, b]).wait()
-        seg = seg_ref[b, :, 0]                    # [T] f32 ids
-        seg0 = meta_ref[0, b, i].astype(jnp.float32)
-        E = (seg - seg0)[:, None] == j            # [T, window]
-        out_ref[b] = jax.lax.dot_general(
-            E.astype(jnp.float32), wnd[slot, b].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    # prod[t, s_local*cv + c] = vals[t, c] * (slot[t] == g*group + s_local)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 1)
+    s_of_col = (col // cv).astype(jnp.float32) + g * group_slots
+    oh = (slot == s_of_col).astype(jnp.float32)   # [T, lanes]
+    vt = jnp.zeros((chunk, lanes), jnp.float32)
+    for c in range(cv):
+        vt = vt + jnp.where(col % cv == c, vals[:, c:c + 1], 0.0)
+    prod = oh * vt
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) \
+        .astype(jnp.float32)
+    E = (rel[:, 0][None, :] == j).astype(jnp.float32)
+    W = jax.lax.dot_general(E, prod, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    start = meta_ref[b, i]
+    cur = out_ref[0, pl.ds(start, chunk), :]
+    out_ref[0, pl.ds(start, chunk), :] = cur + W
+
+
+def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
+                                  num_segments: int,
+                                  chunk: int = DEFAULT_CHUNK):
+    """``out[b, v, s, c] = sum_t vals[b, t, c] * (seg==v) * (slot==s)`` for
+    ASCENDING dense ``seg_ids``; the one-hot outer product never touches
+    HBM.  vals [B, P, cv] (cv small, e.g. 4); slot [B, P] in [0,
+    num_slots).  Returns [B, num_segments, num_slots, cv] float32.
+    Invalid points must carry zeroed vals or sentinel seg ids.
+    """
+    B, P, cv = vals.shape
+    assert P % chunk == 0, (P, chunk)
+    group_slots = max(128 // cv, 1)
+    n_groups = (num_slots + group_slots - 1) // group_slots
+    assert num_slots % min(group_slots, num_slots) == 0, (num_slots, cv)
+    meta = _seg0_meta(seg_ids, num_segments, chunk)
+    seg2 = jnp.stack([seg_ids.astype(jnp.float32),
+                      slot.astype(jnp.float32)], axis=-1)
+    rows = _rows_pad(num_segments, chunk)
+    lanes = group_slots * cv
+
+    kern = functools.partial(_slot_kernel, chunk=chunk, cv=cv,
+                             group_slots=group_slots)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_groups, P // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk, cv), lambda b, g, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, lanes), lambda b, g, i, *_: (b, 0, g),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, rows, n_groups * lanes),
+                                       jnp.float32),
+    )(meta, vals, seg2)
+    out = out[:, :num_segments, :num_slots * cv]
+    return out.reshape(B, num_segments, num_slots, cv)
+
+
+# ---------------------------------------------------------------------------
+# segment gather (broadcast table rows back to sorted points)
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(meta_ref, seg_ref, table_ref, out_ref, *, chunk):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    seg = seg_ref[0, :, 0]                        # [T] f32 ids
+    seg0 = meta_ref[b, i].astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
+        .astype(jnp.float32)
+    E = ((seg - seg0)[:, None] == j).astype(jnp.float32)   # [T, window]
+    start = meta_ref[b, i]
+    window = table_ref[0, pl.ds(start, chunk), :]
+    out_ref[0] = jax.lax.dot_general(
+        E, window.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _gather_forward(table, seg_ids, chunk):
@@ -270,30 +324,26 @@ def _gather_forward(table, seg_ids, chunk):
     P = seg_ids.shape[1]
     assert P % chunk == 0, (P, chunk)
     dtype = table.dtype
-    # bf16 HBM tiling packs 2 rows per word: a dynamic window start at an
-    # odd row is not expressible as a DMA, so the window path runs in f32
     table, Cp = _pad_channels(table.astype(jnp.float32), False)
-    # window reads reach [start, start + chunk): pad the table's row axis
-    table = jnp.pad(table, ((0, 0), (0, chunk + 1), (0, 0)))
+    # one-hot windows reach [start, start + chunk): pad the row axis
+    rows = _rows_pad(S, chunk)
+    table = jnp.pad(table, ((0, 0), (0, rows - S), (0, 0)))
     seg_f = seg_ids.astype(jnp.float32)
     seg2 = jnp.stack([seg_f, seg_f], axis=-1)   # 2 lanes: proven tiling
-    meta = _chunk_meta(seg_ids, S, chunk)
+    meta = _seg0_meta(seg_ids, S, chunk)
 
-    kern = functools.partial(_gather_kernel, chunk=chunk, batch=B)
+    kern = functools.partial(_gather_kernel, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(P // chunk,),
+        grid=(B, P // chunk),
         in_specs=[
-            pl.BlockSpec((B, chunk, 2), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, rows, Cp), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, chunk, Cp), lambda i, *_: (0, i, 0),
+        out_specs=pl.BlockSpec((1, chunk, Cp), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, B, chunk, Cp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, B)),
-        ],
     )
     out = pl.pallas_call(
         kern,
@@ -324,8 +374,14 @@ def _gather_bwd(chunk, res, g):
     # contract).  In practice the gathered table is always produced through
     # a row-validity ``where`` whose own VJP zeroes those rows' cotangents,
     # so no scatter-based occupancy mask is needed here.
-    dt = segment_reduce_pallas(g.astype(jnp.float32), seg_ids,
-                               token.shape[0], False, chunk)
+    if _on_tpu():
+        dt = segment_reduce_pallas(g.astype(jnp.float32), seg_ids,
+                                   token.shape[0], False, chunk)
+    else:
+        from .scatter import segment_sum
+        dt = jax.vmap(lambda gg, ss: segment_sum(
+            gg, ss, token.shape[0], sorted_ids=True))(
+            g.astype(jnp.float32), seg_ids)
     return dt.astype(token.dtype), None
 
 

@@ -44,6 +44,7 @@ def test_gaussian_targets(cfg):
     assert bool(tg.mask[0]) and not bool(tg.mask[1])
 
 
+@pytest.mark.slow
 def test_center_train_step_and_decode(cfg):
     state, tx = FT.init_state(cfg, batch_size=2, rng=jax.random.PRNGKey(0))
     step = jax.jit(FT.make_train_step(cfg, tx))

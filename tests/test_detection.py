@@ -57,6 +57,7 @@ def test_assignment_semantics(cfg):
     assert np.all(np.asarray(tg.labels)[neg] == cfg.head.num_classes)
 
 
+@pytest.mark.slow
 def test_finetune_train_step_and_predict(cfg):
     state, tx = FT.init_state(cfg, batch_size=2, rng=jax.random.PRNGKey(0))
     step = jax.jit(FT.make_train_step(cfg, tx))

@@ -49,6 +49,7 @@ def test_host_scene_matches_device(rng):
     np.testing.assert_allclose(ph[order_h], pd[order_d], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_host_scene_runs_through_forward(rng):
     """Scene arrays from the host path drive the pretrain forward."""
     import jax

@@ -30,7 +30,7 @@ def make_case(rng, B=2, V=256, H=4, D=8, win_size=5):
 def test_pallas_matches_einsum(rng):
     q, k, v, win, kv = make_case(rng)
     ref = band_attention(q, k, v, win, key_valid=kv, tile=64, nbands=2)
-    got = band_attention_pallas(q, k, v, win, kv, tile=64, nbands=2,
+    got = band_attention_pallas(q, k, v, win, kv, tile=64, pad=128,
                                 interpret=True)
     valid_q = np.asarray(win) != np.iinfo(np.int32).max
     np.testing.assert_allclose(np.asarray(got)[valid_q],
@@ -47,7 +47,7 @@ def test_pallas_gradients_match(rng):
             (win != np.iinfo(np.int32).max)[..., None, None], o, 0.0) ** 2)
 
     def loss_pal(q_, k_, v_):
-        o = band_attention_pallas(q_, k_, v_, win, kv, tile=64, nbands=2,
+        o = band_attention_pallas(q_, k_, v_, win, kv, tile=64, pad=128,
                                   interpret=True)
         return jnp.sum(jnp.where(
             (win != np.iinfo(np.int32).max)[..., None, None], o, 0.0) ** 2)
@@ -57,3 +57,15 @@ def test_pallas_gradients_match(rng):
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_pad_not_tile_multiple(rng):
+    """pad is independent of tile (only >= max window span, mult of 8)."""
+    q, k, v, win, kv = make_case(rng, B=1, V=256, H=2, D=8, win_size=5)
+    ref = band_attention(q, k, v, win, key_valid=kv, tile=64, nbands=1)
+    got = band_attention_pallas(q, k, v, win, kv, tile=64, pad=24,
+                                interpret=True)
+    valid_q = np.asarray(win) != np.iinfo(np.int32).max
+    np.testing.assert_allclose(np.asarray(got)[valid_q],
+                               np.asarray(ref)[valid_q], rtol=2e-4,
+                               atol=2e-5)

@@ -114,3 +114,25 @@ def test_segment_gather_grad(rng):
             fd = (float(f(jnp.asarray(d2)))
                   - float(f(jnp.asarray(d1)))) / (2 * eps)
             assert abs(float(g[0, s, c]) - fd) < 5e-2, (s, c)
+
+
+def test_slot_outer_segment_sum(rng):
+    from geomae_tpu.ops.pallas_segreduce import slot_outer_segment_sum_pallas
+    B, P, S_SEG, NS, CV = 2, 256, 30, 16, 4
+    seg = np.sort(rng.integers(0, S_SEG, (B, P)), axis=1).astype(np.int32)
+    slot = rng.integers(0, NS, (B, P)).astype(np.int32)
+    vals = rng.normal(size=(B, P, CV)).astype(np.float32)
+    for b in range(B):  # sentinel suffix with zeroed vals
+        n = rng.integers(P // 2, P)
+        seg[b, n:] = S_SEG
+        vals[b, n:] = 0
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(slot_outer_segment_sum_pallas(
+            jnp.asarray(vals), jnp.asarray(slot), jnp.asarray(seg),
+            NS, S_SEG, chunk=64))
+    want = np.zeros((B, S_SEG, NS, CV), np.float32)
+    for b in range(B):
+        for t in range(P):
+            if seg[b, t] < S_SEG:
+                want[b, seg[b, t], slot[b, t]] += vals[b, t]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

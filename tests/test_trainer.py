@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from geomae_tpu.config import OptimConfig, tiny_pretrain_config
 from geomae_tpu.train.optim import decay_mask, make_optimizer
@@ -54,6 +55,7 @@ def test_optimizer_clips_and_steps():
     assert float(jnp.abs(upd["w"]).max()) < 1.0
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_resume(tmp_path):
     from geomae_tpu.train.pretrain import (dummy_batch, init_state,
                                            make_train_step)
@@ -86,6 +88,7 @@ def test_trainer_checkpoint_resume(tmp_path):
     assert int(final2.step) == 5
 
 
+@pytest.mark.slow
 def test_trainer_eval_hook_fires_on_schedule(tmp_path):
     """The periodic-eval hook (reference EvalHook contract) fires every
     ``eval_interval`` steps plus once at the end."""

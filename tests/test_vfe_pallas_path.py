@@ -3,6 +3,7 @@ scan-based CPU path exactly (same reduction tree up to fp noise)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 import geomae_tpu.models.vfe as vfe_mod
@@ -22,6 +23,7 @@ def small_scene(rng, cfg, B=2, P=512):
                              cfg.voxel, 256)
 
 
+@pytest.mark.slow
 def test_vfe_pallas_matches_scan(rng, monkeypatch):
     cfg = geomae_pretrain_nus()
     scene = small_scene(rng, cfg)
@@ -40,6 +42,7 @@ def test_vfe_pallas_matches_scan(rng, monkeypatch):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vfe_pallas_train_stats_and_grad(rng, monkeypatch):
     """Forward (train-mode BN) + grads through the custom VJP stay finite
     and match the scan path."""
