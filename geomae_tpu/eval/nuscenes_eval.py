@@ -50,14 +50,28 @@ def _aligned_iou3d(box_a, box_b):
     return inter / max(union, 1e-8)
 
 
-def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
-    """One (class, threshold) accumulation over all frames.
+N_ELEM = 101   # devkit DetectionMetricData.nelem
 
-    preds/gts: per-frame dicts with 'boxes' [N, 9] and (preds) 'scores'.
-    Returns dict with ap and tp error means, devkit-style.
+
+def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
+    """One (class, threshold) accumulation over all frames, mirroring the
+    devkit's ``accumulate`` + ``calc_ap`` + ``calc_tp`` step by step
+    (nuscenes-devkit eval/detection/algo.py, reimplemented from the
+    published algorithm):
+
+    * greedy matching in descending-score order; closest unmatched GT of
+      the frame by BEV center distance;
+    * precision/confidence interpolated onto 101 recall points
+      (``right=0`` beyond the max achieved recall, flat extension on the
+      left — both devkit quirks);
+    * TP errors: cumulative means over MATCHED predictions only,
+      interpolated on CONFIDENCE (not recall), then averaged over recall
+      indices 11..max_recall_ind (strictly above 10% recall);
+    * AP = mean over recall indices 11..100 of (prec - 0.1 clipped at 0)
+      / 0.9.
     """
     n_gt = sum(len(g["boxes"]) for g in gts)
-    rows = []  # (score, is_tp, trans_err, scale_err, orient_err, vel_err)
+    rows = []     # (score, is_tp, trans_err, scale_err, orient_err, vel_err)
     for pred, gt in zip(preds, gts):
         pb, sc = pred["boxes"], pred["scores"]
         gb = gt["boxes"]
@@ -88,32 +102,34 @@ def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
     fp = np.cumsum(1 - rows[:, 1])
     prec = tp / np.maximum(tp + fp, 1)
     rec = tp / n_gt
+    conf = rows[:, 0]
 
-    # devkit: interpolate onto 101 recall points
-    rec_interp = np.linspace(0, 1, 101)
+    rec_interp = np.linspace(0, 1, N_ELEM)
     prec_i = np.interp(rec_interp, rec, prec, right=0)
-    # TP errors as running means over matches, interpolated on recall
+    conf_i = np.interp(rec_interp, rec, conf, right=0)
+
+    first_ind = round(100 * MIN_RECALL) + 1              # 11: strictly >10%
+    nz = np.nonzero(conf_i)[0]
+    max_recall_ind = int(nz.max()) if len(nz) else 0
+
     is_tp = rows[:, 1] > 0
     out = dict()
-    if is_tp.any():
-        cum = np.cumsum(rows[:, 2:6] * rows[:, 1:2], axis=0)
-        cnt = np.maximum(tp, 1)[:, None]
-        run_mean = cum / cnt
+    if is_tp.any() and max_recall_ind >= first_ind:
+        tp_conf = conf[is_tp]
+        cummean = np.cumsum(rows[is_tp, 2:6], axis=0) \
+            / np.arange(1, is_tp.sum() + 1)[:, None]
         for k, name in enumerate(["trans_err", "scale_err", "orient_err",
                                   "vel_err"]):
-            v = np.interp(rec_interp, rec, run_mean[:, k],
-                          right=run_mean[-1, k])
-            sel = rec_interp > MIN_RECALL
-            last = rec[-1]
-            sel = sel & (rec_interp <= max(last, MIN_RECALL + 1e-9))
-            out[name] = float(v[sel].mean()) if sel.any() else 1.0
+            # devkit: interpolate the cumulative mean on confidence
+            # (both sequences reversed so x is increasing)
+            v = np.interp(conf_i[::-1], tp_conf[::-1],
+                          cummean[::-1, k])[::-1]
+            out[name] = float(v[first_ind:max_recall_ind + 1].mean())
     else:
         out = dict(trans_err=1.0, scale_err=1.0, orient_err=1.0, vel_err=1.0)
 
-    p = np.clip(prec_i - MIN_PRECISION, 0, None)
-    sel = rec_interp >= MIN_RECALL
-    out["ap"] = float(p[sel].sum() / (len(rec_interp[sel])
-                                      * (1 - MIN_PRECISION)))
+    p = np.clip(prec_i[first_ind:] - MIN_PRECISION, 0, None)
+    out["ap"] = float(p.mean() / (1 - MIN_PRECISION))
     return out
 
 
@@ -159,9 +175,10 @@ def evaluate(predictions: List[Dict], ground_truths: List[Dict],
     for name in ["trans_err", "scale_err", "orient_err", "vel_err"]:
         vals = [t[name] for t in tp_per_class.values() if t is not None]
         errs["m" + name] = float(np.mean(vals)) if vals else 1.0
-    # NDS: devkit uses 5 TP errors incl. attr; without attributes we use the
-    # 4 available (documented deviation; scores are comparable up to the
-    # fixed AAE term)
+    # NDS: the devkit averages 5 TP errors incl. attribute error; a
+    # submission without attribute predictions scores AAE = 1, whose NDS
+    # contribution max(1-1, 0) is exactly the 0.0 term below — so this
+    # NDS EQUALS the devkit's for attribute-free submissions.
     tp_score = sum(max(1 - min(e, 1.0), 0.0) for e in errs.values())
     nds = (5 * mAP + tp_score + 0.0) / 10.0
     out = dict(mAP=mAP, NDS=nds, **errs)

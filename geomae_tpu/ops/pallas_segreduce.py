@@ -80,14 +80,16 @@ def _rows_pad(num_segments, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _reduce_kernel(meta_ref, x_ref, seg_ref, out_ref, *, chunk, is_max):
+def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
+                   chunk, is_max):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n = pl.num_programs(1)
     neutral = _NEG if is_max else 0.0
 
     @pl.when(i == 0)
     def _():
-        out_ref[...] = jnp.full_like(out_ref, neutral)
+        acc[...] = jnp.full_like(acc, neutral)
 
     x = x_ref[0].astype(jnp.float32)              # [T, C]
     seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids
@@ -108,7 +110,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_ref, *, chunk, is_max):
             x = jnp.maximum(x, jnp.where(ok, x_s, neutral))
             k *= 2
         # route every LOCAL segment tail (incl. the chunk's last row) and
-        # max-accumulate — a segment spanning chunks combines in the table
+        # max-accumulate — a segment spanning chunks combines in the acc.
         # next-row id via circular roll by chunk-1 (== shift -1); the wrap
         # row is forced to be an end anyway
         is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
@@ -120,14 +122,21 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_ref, *, chunk, is_max):
             E, jnp.ones((chunk, 1), jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) > 0.5
         W = jnp.where(has_end, W, neutral)
-        cur = out_ref[0, pl.ds(start, chunk), :]
-        out_ref[0, pl.ds(start, chunk), :] = jnp.maximum(cur, W)
+        acc[pl.ds(start, chunk), :] = jnp.maximum(
+            acc[pl.ds(start, chunk), :], W)
     else:
         E = (rel[:, 0][None, :] == j).astype(jnp.float32)
         W = jax.lax.dot_general(E, x, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        cur = out_ref[0, pl.ds(start, chunk), :]
-        out_ref[0, pl.ds(start, chunk), :] = cur + W
+        acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
+
+    # one table write per batch row (the accumulator is VMEM-resident
+    # scratch — pipelined *output* blocks would flush/refetch every step)
+    @pl.when(i == n - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc, out_hbm.at[b], sem)
+        cp.start()
+        cp.wait()
 
 
 def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
@@ -152,13 +161,17 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
             pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, Cp), lambda b, i, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Cp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, rows, Cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, x, seg2)
     return out[:, :num_segments, :C]
 
@@ -217,15 +230,16 @@ segment_reduce_pallas.defvjp(_reduce_fwd, _reduce_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _slot_kernel(meta_ref, vals_ref, seg_ref, out_ref, *, chunk, cv,
-                 group_slots):
+def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
+                 chunk, cv, group_slots):
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
+    n = pl.num_programs(2)
 
     @pl.when(i == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc[...] = jnp.zeros_like(acc)
 
     lanes = group_slots * cv
     vals = vals_ref[0].astype(jnp.float32)        # [T, cv]
@@ -249,8 +263,14 @@ def _slot_kernel(meta_ref, vals_ref, seg_ref, out_ref, *, chunk, cv,
     W = jax.lax.dot_general(E, prod, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     start = meta_ref[b, i]
-    cur = out_ref[0, pl.ds(start, chunk), :]
-    out_ref[0, pl.ds(start, chunk), :] = cur + W
+    acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
+
+    @pl.when(i == n - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            acc, out_hbm.at[b, :, pl.ds(g * lanes, lanes)], sem)
+        cp.start()
+        cp.wait()
 
 
 def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
@@ -284,15 +304,18 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
             pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, rows, lanes), lambda b, g, i, *_: (b, 0, g),
-            memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rows, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, rows, n_groups * lanes),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, vals, seg2)
     out = out[:, :num_segments, :num_slots * cv]
     return out.reshape(B, num_segments, num_slots, cv)

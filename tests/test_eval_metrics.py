@@ -56,3 +56,103 @@ def test_results_json_schema():
     assert len(r["rotation"]) == 4 and len(r["size"]) == 3
     # size is wlh (y-dim first per devkit convention)
     assert r["size"] == [2.0, 4.0, 1.5]
+
+
+def _devkit_oracle(scores, is_tp, errs, n_gt):
+    """Independent step-by-step transcription of the devkit's
+    accumulate/calc_ap/calc_tp math (nuscenes-devkit
+    eval/detection/algo.py), for fixture-pinning our evaluator:
+    101-point recall interpolation with right=0, AP over indices 11..100
+    of clip(prec-0.1)/0.9, TP errors as cumulative means over matched
+    rows interpolated on CONFIDENCE and averaged over 11..max_recall_ind.
+    """
+    order = np.argsort(-np.asarray(scores, np.float64))
+    sc = np.asarray(scores, np.float64)[order]
+    tp_flags = np.asarray(is_tp, np.float64)[order]
+    err = np.asarray(errs, np.float64)[order]
+    tp = np.cumsum(tp_flags)
+    fp = np.cumsum(1 - tp_flags)
+    prec = tp / (tp + fp)
+    rec = tp / n_gt
+    rec_i = np.linspace(0, 1, 101)
+    prec_i = np.interp(rec_i, rec, prec, right=0)
+    conf_i = np.interp(rec_i, rec, sc, right=0)
+    ap = float(np.mean(np.clip(prec_i[11:] - 0.1, 0, None)) / 0.9)
+    sel = tp_flags > 0
+    cm = np.cumsum(err[sel]) / np.arange(1, sel.sum() + 1)
+    v = np.interp(conf_i[::-1], sc[sel][::-1], cm[::-1])[::-1]
+    nz = np.nonzero(conf_i)[0]
+    last = int(nz.max()) if len(nz) else 0
+    te = float(v[11:last + 1].mean()) if last >= 11 else 1.0
+    return ap, te
+
+
+def test_accumulate_matches_devkit_oracle():
+    """Multi-frame, partial-recall scenario pinned against an independent
+    transcription of the devkit algorithm (VERDICT r1 #5: no devkit in
+    this environment, so the protocol math itself is the fixture)."""
+    rng = np.random.default_rng(7)
+    gts, preds = [], []
+    all_scores, all_tp, all_te = [], [], []
+    n_gt_total = 0
+    for f in range(3):
+        n_gt = int(rng.integers(2, 6))
+        gt = np.zeros((n_gt, 9), np.float32)
+        gt[:, 0] = rng.uniform(-20, 20, n_gt)
+        gt[:, 1] = rng.uniform(-20, 20, n_gt)
+        gt[:, 3:6] = [4, 2, 1.5]
+        n_gt_total += n_gt
+        # hits for a prefix of gts (some offset), plus 2 far FPs
+        n_hit = max(n_gt - 1, 1)
+        pb = np.concatenate([gt[:n_hit].copy(),
+                             gt[:2].copy()], axis=0)
+        offs = rng.uniform(-0.5, 0.5, (n_hit, 2))
+        pb[:n_hit, :2] += offs
+        pb[n_hit:, :2] += 50.0           # far -> FP at any threshold
+        sc = rng.uniform(0.2, 1.0, len(pb)).astype(np.float32)
+        gts.append({"boxes": gt})
+        preds.append({"boxes": pb, "scores": sc})
+    acc = accumulate_class(preds, gts, dist_th=2.0)
+
+    # oracle bookkeeping: replicate the greedy matching independently
+    for pred, gt in zip(preds, gts):
+        taken = np.zeros(len(gt["boxes"]), bool)
+        for i in np.argsort(-pred["scores"]):
+            d = np.linalg.norm(
+                gt["boxes"][:, :2] - pred["boxes"][i, :2], axis=1)
+            d = np.where(taken, np.inf, d)
+            j = int(np.argmin(d))
+            hit = d[j] < 2.0
+            if hit:
+                taken[j] = True
+            all_scores.append(float(pred["scores"][i]))
+            all_tp.append(1.0 if hit else 0.0)
+            all_te.append(float(d[j]) if hit else 0.0)
+    ap, te = _devkit_oracle(all_scores, all_tp, all_te, n_gt_total)
+    np.testing.assert_allclose(acc["ap"], ap, rtol=1e-9)
+    np.testing.assert_allclose(acc["trans_err"], te, rtol=1e-9)
+
+
+def test_ap_hand_computed_single_frame():
+    """2 GT, 3 preds (TP/FP/TP by score order) — AP derived by hand.
+
+    rec = [.5, .5, 1], prec = [1, .5, 2/3], conf = [.9, .8, .7].
+    np.interp (used identically by the devkit) takes the LAST pair at the
+    duplicated x=0.5, so prec_i = 1.0 for recall < 0.5, 0.5 AT 0.5, and
+    the segment (0.5, 1] interpolates 0.5 -> 2/3.  AP indices 11..100:
+      11..49 (39 pts): (1 - .1) = .9
+      50: (.5 - .1) = .4
+      51..100: prec(r) - .1 with prec(r) = .5 + (r - .5)/3.
+    """
+    gt = np.array([[0, 0, 0, 4, 2, 1.5, 0, 0, 0],
+                   [10, 0, 0, 4, 2, 1.5, 0, 0, 0]], np.float32)
+    pb = np.array([[0.1, 0, 0, 4, 2, 1.5, 0, 0, 0],
+                   [50, 50, 0, 4, 2, 1.5, 0, 0, 0],
+                   [10.2, 0, 0, 4, 2, 1.5, 0, 0, 0]], np.float32)
+    acc = accumulate_class([{"boxes": pb,
+                             "scores": np.array([.9, .8, .7], np.float32)}],
+                           [{"boxes": gt}], dist_th=2.0)
+    r = np.linspace(0, 1, 101)
+    expect = (39 * 0.9 + 0.4
+              + np.sum(0.5 + (r[51:] - 0.5) / 3 - 0.1)) / 90 / .9
+    np.testing.assert_allclose(acc["ap"], expect, rtol=1e-9)
