@@ -427,6 +427,23 @@ def tiny_finetune_center_config() -> FinetuneConfig:
         max_gt_boxes=32)
 
 
+def tiny_pretrain_waymo_config() -> PretrainConfig:
+    """Waymo-geometry pretrain at CPU-test scale: the real Waymo data
+    schema (6-channel bins, ego poses, multi-sweep merge) and pillar size
+    on a reduced range slice, with the tiny model."""
+    base = geomae_pretrain_waymo()
+    voxel = VoxelConfig(
+        point_cloud_range=(-10.24, -10.24, -2.0, 10.24, 10.24, 4.0),
+        voxel_size=(0.32, 0.32, 6.0))
+    return replace(
+        base, voxel=voxel,
+        caps=CapsConfig(max_points=4096, max_voxels=512, max_visible=256),
+        vfe=VFEConfig(feat_channels=(16, 32)),
+        sst=SSTConfig(d_model=32, nhead=4, dim_feedforward=64),
+        mae=MAEConfig(encoder_blocks=2, decoder_blocks=1),
+        compute_dtype="float32")
+
+
 def tiny_pretrain_config() -> PretrainConfig:
     """Small config for CPU tests: 40x40 grid, tiny caps."""
     voxel = VoxelConfig(

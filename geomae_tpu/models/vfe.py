@@ -33,19 +33,27 @@ torch_linear_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")
 
 
-_SEG_CHUNK = 256
+_SEG_CHUNK = 512
 
 
 def _use_pallas(P: int) -> bool:
-    """Opt-in (GEOMAE_PALLAS_SEGREDUCE=1): the one-pass Pallas segment
-    kernels are numerically verified on TPU v5e but currently LOSE to the
-    scan path end-to-end (~170 ms vs ~80 ms VFE forward at 262k pts):
-    their per-chunk one-hot routing matmuls carry ~30 us/step of overhead
-    at chunk 256, and larger chunks blow up Mosaic compile time
-    quadratically in the [chunk, chunk] one-hot.  Kept for the next
-    optimization round."""
+    """Opt-in (GEOMAE_PALLAS_SEGREDUCE=1) for the REDUCE kernels: exact on
+    TPU but the VMEM-resident accumulator serializes every grid step
+    (sum 71 ms / max 104 ms at [4, 262k, 128] on v5e vs the scan path's
+    share of an 83 ms VFE forward), so scans stay the default."""
     import os
     if os.environ.get("GEOMAE_PALLAS_SEGREDUCE") != "1":
+        return False
+    from .sst import _is_tpu_backend
+    return _is_tpu_backend() and P % _SEG_CHUNK == 0
+
+
+def _gather_use_pallas(P: int) -> bool:
+    """The gather kernel's grid steps are independent (no accumulator
+    chain), pipeline fully, and measure 0.9 ms — default ON on TPU
+    (GEOMAE_PALLAS_GATHER=0 disables)."""
+    import os
+    if os.environ.get("GEOMAE_PALLAS_GATHER") == "0":
         return False
     from .sst import _is_tpu_backend
     return _is_tpu_backend() and P % _SEG_CHUNK == 0
@@ -88,11 +96,12 @@ def _seg_max_b(data, seg, num, valid, row_valid):
 
 def _gather_b(table, idx):
     """Broadcast table rows back to (sorted) points.  One-pass Pallas
-    window-gather on TPU (XLA row gathers run at ~25 M rows/s); sentinel
-    ids (== table length) return 0 on both paths.  ``take_rows_sorted``
-    gives the gather a cumsum-based backward (idx = p2v is ascending)
-    instead of a scatter-add."""
-    if _use_pallas(idx.shape[1]):
+    window-gather on TPU — measured 0.9 ms at [4, 262k, 128] on v5e (its
+    grid steps are independent, so the pipeline overlaps DMA + routing
+    matmuls; XLA row gathers run ~25 M rows/s).  Sentinel ids (== table
+    length) return 0 on both paths.  On CPU ``take_rows_sorted`` gives
+    the gather a cumsum-based backward (idx = p2v ascending)."""
+    if _gather_use_pallas(idx.shape[1]):
         from ..ops.pallas_segreduce import segment_gather_pallas
         return segment_gather_pallas(table, idx, _SEG_CHUNK)
     return jax.vmap(scatter.take_rows_sorted)(table, idx)

@@ -76,7 +76,9 @@ class Trainer:
     def run(self):
         step = int(self.state.step)
         while step < self.total_steps:
+            made_progress = False
             for batch in self.loader:
+                made_progress = True
                 if step >= self.total_steps:
                     break
                 batch = jax.tree_util.tree_map(
@@ -92,6 +94,10 @@ class Trainer:
                 if (self.eval_fn is not None and self.eval_interval
                         and step % self.eval_interval == 0):
                     self.evaluate(step)
+            if not made_progress:
+                raise RuntimeError(
+                    "loader yielded no batches (dataset smaller than the "
+                    "global batch?) — training cannot make progress")
         if self.eval_fn is not None and (
                 not self.eval_interval or step % self.eval_interval):
             self.evaluate(step)

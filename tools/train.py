@@ -34,6 +34,9 @@ from geomae_tpu.train.trainer import Trainer  # noqa: E402
 def parse_args():
     p = argparse.ArgumentParser(description="geomae-tpu trainer")
     p.add_argument("task", choices=["pretrain", "finetune"])
+    p.add_argument("--preset", default="nus",
+                   choices=["nus", "waymo", "nus_centerhead"],
+                   help="config family (dataset geometry + model variant)")
     p.add_argument("--work-dir", default="work_dirs/run")
     p.add_argument("--data-root", default="data/nuscenes")
     p.add_argument("--ann-file", default=None)
@@ -99,11 +102,19 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     n_dev = len(jax.devices())
     if args.task == "pretrain":
-        cfg = C.tiny_pretrain_config() if args.tiny \
-            else C.geomae_pretrain_nus()
+        if args.preset == "waymo":
+            cfg = C.tiny_pretrain_waymo_config() if args.tiny \
+                else C.geomae_pretrain_waymo()
+        else:
+            cfg = C.tiny_pretrain_config() if args.tiny \
+                else C.geomae_pretrain_nus()
     else:
-        cfg = C.tiny_finetune_config() if args.tiny \
-            else C.geomae_finetune_nus()
+        if args.preset == "nus_centerhead":
+            cfg = C.tiny_finetune_center_config() if args.tiny \
+                else C.geomae_finetune_nus_centerhead()
+        else:
+            cfg = C.tiny_finetune_config() if args.tiny \
+                else C.geomae_finetune_nus()
     if args.ann_file or args.data_root:
         cfg = C.replace(cfg, data=C.replace(
             cfg.data, data_root=args.data_root,
@@ -115,8 +126,19 @@ def main():
     if args.synthetic:
         ds = (_SyntheticSSL if args.task == "pretrain" else _SyntheticDet)(cfg)
     elif args.task == "pretrain":
-        from geomae_tpu.data.nuscenes import NuScenesSSLDataset
-        ds = NuScenesSSLDataset(cfg.data, cfg.voxel, cfg.caps)
+        if args.preset == "waymo":
+            from geomae_tpu.data.waymo import WaymoSSLDataset
+            ds = WaymoSSLDataset(cfg.data, cfg.voxel, cfg.caps,
+                                 load_dims=cfg.data.load_dim,
+                                 use_dims=cfg.data.use_dim)
+        else:
+            from geomae_tpu.data.nuscenes import NuScenesSSLDataset
+            ds = NuScenesSSLDataset(cfg.data, cfg.voxel, cfg.caps)
+    elif args.preset == "waymo":
+        from geomae_tpu.data.waymo import WaymoDataset
+        ds = WaymoDataset(cfg.data, cfg.voxel, cfg.caps, cfg.max_gt_boxes,
+                          load_dims=cfg.data.load_dim,
+                          use_dims=cfg.data.use_dim)
     else:
         from geomae_tpu.data.nuscenes import CBGSDataset, NuScenesDetDataset
         ds = NuScenesDetDataset(cfg.data, cfg.voxel, cfg.caps,
