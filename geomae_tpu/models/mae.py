@@ -210,12 +210,11 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
 def _targets_use_pallas(scene: Scene, use_pallas) -> bool:
     if use_pallas is not None:
         return use_pallas
-    # measured v5e @ [4, 262k]: the fused slot-outer kernel runs 278 ms vs
-    # 60 ms for the XLA one-hot cumsum — its per-chunk accumulator chain
-    # serializes every grid step (independent-step kernels like the pallas
-    # gather pipeline at 0.9 ms).  Off until the kernel restructures.
+    # measured v5e @ [4, 262k]: the fused slot-outer kernel builds the
+    # dense sums in 11.2 ms vs 60 ms for the XLA one-hot cumsum (after the
+    # natural-orientation one-hot fix in ops/pallas_segreduce.py).
     import os
-    if os.environ.get("GEOMAE_PALLAS_TARGETS") != "1":
+    if os.environ.get("GEOMAE_PALLAS_TARGETS") == "0":
         return False
     from .sst import _is_tpu_backend
     P = scene.valid.shape[-1]

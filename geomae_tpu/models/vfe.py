@@ -37,12 +37,14 @@ _SEG_CHUNK = 512
 
 
 def _use_pallas(P: int) -> bool:
-    """Opt-in (GEOMAE_PALLAS_SEGREDUCE=1) for the REDUCE kernels: exact on
-    TPU but the VMEM-resident accumulator serializes every grid step
-    (sum 71 ms / max 104 ms at [4, 262k, 128] on v5e vs the scan path's
-    share of an 83 ms VFE forward), so scans stay the default."""
+    """Default ON on TPU (GEOMAE_PALLAS_SEGREDUCE=0 disables): the
+    one-pass reduce kernels measure sum 2.9 ms / max 4.4 ms at
+    [4, 262k, 128] on v5e once the one-hot is built in natural [T, out]
+    orientation (the transposed construction forced a sublane->lane
+    relayout of the id vector per grid step — 31 us/step, the entire
+    former 71/104 ms cost).  The scan path remains the CPU/fallback."""
     import os
-    if os.environ.get("GEOMAE_PALLAS_SEGREDUCE") != "1":
+    if os.environ.get("GEOMAE_PALLAS_SEGREDUCE") == "0":
         return False
     from .sst import _is_tpu_backend
     return _is_tpu_backend() and P % _SEG_CHUNK == 0

@@ -95,8 +95,12 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
     seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids
     seg0 = meta_ref[b, i].astype(jnp.float32)
     rel = seg - seg0                              # [T, 1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) \
-        .astype(jnp.float32)                      # out row per one-hot row
+    # one-hot in NATURAL [T, out_row] orientation: building the transposed
+    # [out_row, T] would force seg through a sublane->lane relayout, which
+    # measured 31 us/step (the entire kernel cost); the MXU contracts
+    # dim 0 of both operands for free instead.
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
+        .astype(jnp.float32)                      # out row per LANE
     start = meta_ref[b, i]
 
     if is_max:
@@ -114,19 +118,18 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
         # next-row id via circular roll by chunk-1 (== shift -1); the wrap
         # row is forced to be an end anyway
         is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
-        E = ((rel[:, 0][None, :] == j) & is_end[:, 0][None, :]) \
-            .astype(jnp.float32)
-        W = jax.lax.dot_general(E, x, (((1,), (0,)), ((), ())),
+        E = ((rel == j) & is_end).astype(jnp.float32)     # [T, out]
+        W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         has_end = jax.lax.dot_general(
-            E, jnp.ones((chunk, 1), jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) > 0.5
+            E, jnp.ones((chunk, 1), jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(chunk, 1) > 0.5
         W = jnp.where(has_end, W, neutral)
         acc[pl.ds(start, chunk), :] = jnp.maximum(
             acc[pl.ds(start, chunk), :], W)
     else:
-        E = (rel[:, 0][None, :] == j).astype(jnp.float32)
-        W = jax.lax.dot_general(E, x, (((1,), (0,)), ((), ())),
+        E = (rel == j).astype(jnp.float32)                # [T, out]
+        W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
@@ -257,10 +260,12 @@ def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
         vt = vt + jnp.where(col % cv == c, vals[:, c:c + 1], 0.0)
     prod = oh * vt
 
-    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0) \
+    # natural [T, out_row] one-hot (transposed construction relayouts —
+    # see _reduce_kernel) contracted on dim 0
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
         .astype(jnp.float32)
-    E = (rel[:, 0][None, :] == j).astype(jnp.float32)
-    W = jax.lax.dot_general(E, prod, (((1,), (0,)), ((), ())),
+    E = (rel == j).astype(jnp.float32)
+    W = jax.lax.dot_general(E, prod, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     start = meta_ref[b, i]
     acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W

@@ -72,3 +72,33 @@ def test_focal_loss_matches_reference_formula(rng):
     ce = -(onehot * np.log(p) + (1 - onehot) * np.log(1 - p))
     want = (alpha_t * (1 - pt) ** 2 * ce).sum(-1)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_box_mode_round_trips():
+    """Every src->dst->src with default mats is the identity, and sizes
+    stay positive/permutation-consistent (reference box_3d_mode.py)."""
+    from geomae_tpu.core.box_modes import Box3DMode, convert
+    rng = np.random.default_rng(3)
+    boxes = np.concatenate([
+        rng.normal(0, 10, (20, 3)),
+        rng.uniform(0.5, 4.0, (20, 3)),
+        rng.uniform(-np.pi, np.pi, (20, 1)),
+        rng.normal(0, 2, (20, 2)),          # velocity passthrough
+    ], -1)
+    modes = [Box3DMode.LIDAR, Box3DMode.CAM, Box3DMode.DEPTH]
+    for a in modes:
+        for b in modes:
+            if a == b:
+                continue
+            back = convert(convert(boxes, a, b), b, a)
+            np.testing.assert_allclose(back, boxes, atol=1e-12)
+    # explicit known mapping: lidar (x front, y left) -> depth
+    # (x right, y front): depth_x = -lidar_y, depth_y = lidar_x
+    ld = convert(boxes, Box3DMode.LIDAR, Box3DMode.DEPTH)
+    np.testing.assert_allclose(ld[:, 0], -boxes[:, 1])
+    np.testing.assert_allclose(ld[:, 1], boxes[:, 0])
+    np.testing.assert_allclose(ld[:, 3], boxes[:, 4])  # dx' = dy
+    # rt_mat with translation applies to centers only
+    rt = np.eye(4); rt[:3, 3] = [1.0, 2.0, 3.0]
+    shifted = convert(boxes, Box3DMode.LIDAR, Box3DMode.CAM, rt_mat=rt)
+    np.testing.assert_allclose(shifted[:, :3], boxes[:, :3] + [1, 2, 3])
