@@ -17,6 +17,14 @@ band width ``tile + 2*pad`` only needs 128-lane alignment for the aux DMA
 slices), which cuts the pair-work per call from ``V * (128 + 2*256)`` to
 ``V * (128 + 2*192)`` — 20% less at tile=128.
 
+LAYOUT RULE (the perf-critical part): every per-ROW vector is kept in the
+orientation its consumer needs — query-side vectors (query window ids,
+softmax stats m/l/D) ride the SUBLANE axis ([V, k] arrays, block
+(tile, k)), key-side vectors (band window ids, key validity) ride the
+LANE axis ([2, Vp] arrays).  A vector born in the wrong orientation costs
+a sublane<->lane relayout PER GRID STEP, which measured ~31 us — the
+same pathology fixed in ops/pallas_segreduce.py.
+
 Forward, per grid step (b, i): DMA the padded K/V band and a float32 aux
 band (window id + key-validity channels; ids < 2^24 are exact in f32,
 which sidesteps Mosaic's int32 slice-tiling limits) for positions
@@ -58,7 +66,7 @@ _EPS = 1e-20
 
 
 def _band_inputs(q, k, v, win_id, key_valid, pad):
-    """Flatten heads and build padded K/V + aux [B, 2, Vp] arrays."""
+    """Flatten heads and build padded K/V + key-side aux [B, 2, Vp]."""
     B, V, H, D = q.shape
     C = H * D
     qf = q.reshape(B, V, C)
@@ -71,7 +79,7 @@ def _band_inputs(q, k, v, win_id, key_valid, pad):
     aux = jnp.stack([
         jnp.pad(win_f, ((0, 0), (pad, pad)), constant_values=_PAD_WIN),
         jnp.pad(key_valid.astype(jnp.float32), ((0, 0), (pad, pad))),
-    ], axis=1)                                      # [B, 2, Vp]
+    ], axis=1)                                      # [B, 2, Vp] lane-major
     return qf, kf, vf, aux, win_f
 
 
@@ -100,10 +108,10 @@ def _fwd_kernel(q_ref, winq_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
     cp_a.wait()
 
     q = q_ref[0]                                   # [tile, C]
-    wink = auxbuf[0, 0, :]                         # [width] f32 window ids
-    kvk = auxbuf[0, 1, :]                          # [width] f32 validity
-    winq = winq_ref[0, 0, :]                       # [tile] query window ids
-    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
+    wink = auxbuf[0, 0:1, :]                       # [1, width] lane-major
+    kvk = auxbuf[0, 1:2, :]                        # [1, width]
+    winq = winq_ref[0, :, 0:1]                     # [tile, 1] sublane-major
+    mask = (winq == wink) & (kvk > 0.5)            # [tile, width], natural
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
@@ -119,8 +127,8 @@ def _fwd_kernel(q_ref, winq_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
             e.astype(vbuf.dtype), vbuf[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out_ref[0, :, sl] = (o / jnp.maximum(l, _EPS)).astype(out_ref.dtype)
-        stats_ref[0, h, :] = m[:, 0]
-        stats_ref[0, nheads + h, :] = l[:, 0]
+        stats_ref[0, :, h:h + 1] = m                # [tile, 1] sublane write
+        stats_ref[0, :, nheads + h:nheads + h + 1] = l
 
 
 def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
@@ -141,7 +149,7 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -150,12 +158,12 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
         out_specs=(
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * H, tile), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, tile, 2 * H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, V, C), v.dtype),
-            jax.ShapeDtypeStruct((B, 2 * H, V), jnp.float32),
+            jax.ShapeDtypeStruct((B, V, 2 * H), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((width, C), k.dtype),
@@ -164,7 +172,7 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(qf, win_f[:, None, :], kf, vf, aux)
+    )(qf, win_f[:, :, None], kf, vf, aux)
     return out.reshape(B, V, H, D), stats
 
 
@@ -190,17 +198,18 @@ def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
 
     q = q_ref[0]
     do = do_ref[0]
-    wink = auxbuf[0, 0, :]
-    kvk = auxbuf[0, 1, :]
-    winq = winq_ref[0, 0, :]
-    mask = (winq[:, None] == wink[None, :]) & (kvk[None, :] > 0.5)
+    wink = auxbuf[0, 0:1, :]
+    kvk = auxbuf[0, 1:2, :]
+    winq = winq_ref[0, :, 0:1]
+    mask = (winq == wink) & (kvk > 0.5)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        m = st_ref[0, h, :][:, None]                       # [tile, 1]
-        inv_l = 1.0 / jnp.maximum(st_ref[0, nheads + h, :], _EPS)[:, None]
-        dvo = st_ref[0, 2 * nheads + h, :][:, None]        # D_i
+        m = st_ref[0, :, h:h + 1]                          # [tile, 1]
+        inv_l = 1.0 / jnp.maximum(st_ref[0, :, nheads + h:nheads + h + 1],
+                                  _EPS)
+        dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
         s = jax.lax.dot_general(
             q[:, sl], kbuf[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -218,8 +227,8 @@ def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, st_hbm, aux_hbm,
-                dk_ref, dv_ref, qbuf, dobuf, stbuf, auxbuf, sems, *,
+def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, qs_hbm,
+                dk_ref, dv_ref, qbuf, dobuf, qsbuf, sems, *,
                 tile, width, nheads, head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -230,32 +239,28 @@ def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, st_hbm, aux_hbm,
     cp_o = pltpu.make_async_copy(do_hbm.at[b, pl.ds(start, width), :], dobuf,
                                  sems.at[1])
     cp_s = pltpu.make_async_copy(
-        st_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], stbuf, sems.at[2])
-    cp_a = pltpu.make_async_copy(
-        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[3])
+        qs_hbm.at[b, pl.ds(start, width), :], qsbuf, sems.at[2])
     cp_q.start()
     cp_o.start()
     cp_s.start()
-    cp_a.start()
     cp_q.wait()
     cp_o.wait()
     cp_s.wait()
-    cp_a.wait()
 
     kt = k_ref[0]                                  # [tile, C] key tile
     vt = v_ref[0]
-    win_t = aux_t_ref[0, 0, :]                     # key tile window ids
-    kv_t = aux_t_ref[0, 1, :]                      # key tile validity
-    winq = auxbuf[0, 0, :]                         # [width] query win ids
+    win_t = aux_t_ref[0, 0:1, :]                   # [1, tile] lane-major
+    kv_t = aux_t_ref[0, 1:2, :]                    # [1, tile]
+    winq = qsbuf[:, 3 * nheads:3 * nheads + 1]     # [width, 1] sublane
     # pair mask (query i in band, key j in tile): win_i == win_j & kv_j
-    mask = (winq[:, None] == win_t[None, :]) & (kv_t[None, :] > 0.5)
+    mask = (winq == win_t) & (kv_t > 0.5)          # [width, tile]
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        m = stbuf[0, h, :][:, None]                        # [width, 1]
-        inv_l = 1.0 / jnp.maximum(stbuf[0, nheads + h, :], _EPS)[:, None]
-        dvo = stbuf[0, 2 * nheads + h, :][:, None]
+        m = qsbuf[:, h:h + 1]                              # [width, 1]
+        inv_l = 1.0 / jnp.maximum(qsbuf[:, nheads + h:nheads + h + 1], _EPS)
+        dvo = qsbuf[:, 2 * nheads + h:2 * nheads + h + 1]
         # s_ij for queries i (band) x keys j (tile)
         s = jax.lax.dot_general(
             qbuf[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
@@ -285,9 +290,9 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
     qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
     gf = g.reshape(B, V, C)
     # D_i = sum_d dO_id O_id per head — tiny elementwise reduction
-    dvo = jnp.einsum("bvhd,bvhd->bhv", g.astype(jnp.float32),
+    dvo = jnp.einsum("bvhd,bvhd->bvh", g.astype(jnp.float32),
                      out.astype(jnp.float32))
-    stats3 = jnp.concatenate([stats, dvo], axis=1)         # [B, 3H, V]
+    stats3 = jnp.concatenate([stats, dvo], axis=-1)        # [B, V, 3H]
 
     # ---- dq over query tiles ----------------------------------------------
     # the dq kernel needs both K and V bands; stack them on channels so one
@@ -303,9 +308,9 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * H, tile), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, tile, 3 * H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -319,12 +324,20 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(qf, gf, stats3, win_f[:, None, :], kv_band, aux)
+    )(qf, gf, stats3, win_f[:, :, None], kv_band, aux)
 
     # ---- dk/dv over key tiles ----------------------------------------------
+    # query-side per-row data (3H softmax stats + the query window id)
+    # packed into ONE sublane-major [B, Vp, 128] band (manual DMAs need a
+    # 128-aligned lane dim) — each consumer reads its natural orientation,
+    # while the key tile's aux stays lane-major
     qp = jnp.pad(qf, ((0, 0), (pad, pad), (0, 0)))
     gp = jnp.pad(gf, ((0, 0), (pad, pad), (0, 0)))
-    stats3p = jnp.pad(stats3, ((0, 0), (0, 0), (pad, pad)))
+    winq_col = jnp.pad(win_f, ((0, 0), (pad, pad)),
+                       constant_values=_PAD_WIN)[:, :, None]
+    qs = jnp.concatenate([
+        jnp.pad(stats3, ((0, 0), (pad, pad), (0, 0))), winq_col], axis=-1)
+    qs = jnp.pad(qs, ((0, 0), (0, 0), (0, 128 - qs.shape[-1])))
     dkv_kern = functools.partial(_dkv_kernel, tile=tile, width=width,
                                  nheads=H, head_dim=D)
     dk, dv = pl.pallas_call(
@@ -337,7 +350,6 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, tile), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -356,13 +368,12 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             pltpu.VMEM((width, C), q.dtype),
             pltpu.VMEM((width, C), g.dtype if hasattr(g, "dtype")
                        else jnp.float32),
-            pltpu.VMEM((1, 3 * H, width), jnp.float32),
-            pltpu.VMEM((1, 2, width), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((width, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(k.reshape(B, V, C), v.reshape(B, V, C),
-      aux[:, :, pad:pad + V], qp, gp, stats3p, aux)
+      aux[:, :, pad:pad + V], qp, gp, qs)
 
     shape = (B, V, H, D)
     return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape))

@@ -331,19 +331,29 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel(meta_ref, seg_ref, table_ref, out_ref, *, chunk):
+def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
+                   chunk):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    seg = seg_ref[0, :, 0]                        # [T] f32 ids
+    # resident table loads ONCE per batch row into scratch — a pipelined
+    # input block would be double-buffered (2 x 10.7 MB > the 16 MB VMEM
+    # budget inside a fused train step)
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(table_hbm.at[b], tbl, sem)
+        cp.start()
+        cp.wait()
+
+    seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids, sublane
     seg0 = meta_ref[b, i].astype(jnp.float32)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
         .astype(jnp.float32)
-    E = ((seg - seg0)[:, None] == j).astype(jnp.float32)   # [T, window]
+    E = ((seg - seg0) == j).astype(jnp.float32)   # [T, window], natural
     start = meta_ref[b, i]
-    window = table_ref[0, pl.ds(start, chunk), :]
+    window = tbl[pl.ds(start, chunk), :]
     out_ref[0] = jax.lax.dot_general(
-        E, window.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        E, window, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
@@ -367,11 +377,14 @@ def _gather_forward(table, seg_ids, chunk):
         in_specs=[
             pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, Cp), lambda b, i, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, chunk, Cp), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Cp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
         kern,
