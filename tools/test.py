@@ -34,6 +34,12 @@ def parse_args():
     p.add_argument("--eval", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--dataset", default="nuscenes",
+                   choices=["nuscenes", "kitti", "waymo"],
+                   help="dataset family; kitti/waymo score with the KITTI "
+                        "AP_R40 protocol (the reference's Waymo metrics "
+                        "binary is not redistributable — documented "
+                        "stand-in)")
     return p.parse_args()
 
 
@@ -43,8 +49,14 @@ def main():
     cfg = C.replace(cfg, data=C.replace(cfg.data, data_root=args.data_root,
                                         ann_file=args.ann_file))
 
-    ds = NuScenesDetDataset(cfg.data, cfg.voxel, cfg.caps, cfg.max_gt_boxes,
-                            test_mode=True)
+    if args.dataset == "nuscenes":
+        ds = NuScenesDetDataset(cfg.data, cfg.voxel, cfg.caps,
+                                cfg.max_gt_boxes, test_mode=True)
+    else:
+        from geomae_tpu.data.waymo import KittiDataset, WaymoDataset
+        cls = KittiDataset if args.dataset == "kitti" else WaymoDataset
+        ds = cls(cfg.data, cfg.voxel, cfg.caps, cfg.max_gt_boxes,
+                 test_mode=True)
     n = len(ds) if args.max_frames is None else min(args.max_frames, len(ds))
 
     state, _ = FT.init_state(cfg, args.batch_size, jax.random.PRNGKey(0))
@@ -90,7 +102,16 @@ def main():
             json.dump(payload, f)
         print(f"wrote {args.out}")
     if args.eval:
-        metrics = evaluate(preds, gts, NUS_CLASSES)
+        if args.dataset == "nuscenes":
+            metrics = evaluate(preds, gts, NUS_CLASSES)
+        else:
+            from geomae_tpu.data.waymo import WAYMO_CLASSES
+            from geomae_tpu.eval.kitti_eval import evaluate_kitti
+            to_names = lambda f: dict(
+                f, names=np.asarray([WAYMO_CLASSES[int(l)]
+                                     for l in f["labels"]]))
+            metrics = evaluate_kitti([to_names(p) for p in preds],
+                                     [to_names(g) for g in gts])
         print(json.dumps({k: round(v, 4) for k, v in metrics.items()},
                          indent=2))
 
