@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 128
-DEFAULT_PAD = 192        # >= max window occupancy (144); width 128-aligned
+DEFAULT_PAD = 192        # min pad >= 144 with width 128-aligned (pad = 0 mod 64)
 _PAD_WIN = -1.0
 _NEG = -1e9
 _EPS = 1e-20
@@ -88,45 +88,94 @@ def _band_inputs(q, k, v, win_id, key_valid, pad):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, winq_ref, k_hbm, v_hbm, aux_hbm, out_ref, stats_ref,
-                kbuf, vbuf, auxbuf, sems, *, tile, width, nheads, head_dim):
+def _fwd_kernel(nv_ref, q_ref, winq_ref, k_hbm, v_hbm, aux_hbm, out_ref,
+                stats_ref, kbuf, vbuf, auxbuf, sems, *, tile, width, nheads,
+                head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
     start = i * tile
+    l = b * nt + i
+    slot = jax.lax.rem(l, 2)
+    cur_valid = start < nv_ref[b]
 
-    cp_k = pltpu.make_async_copy(k_hbm.at[b, pl.ds(start, width), :], kbuf,
-                                 sems.at[0])
-    cp_v = pltpu.make_async_copy(v_hbm.at[b, pl.ds(start, width), :], vbuf,
-                                 sems.at[1])
-    cp_a = pltpu.make_async_copy(
-        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[2])
-    cp_k.start()
-    cp_v.start()
-    cp_a.start()
-    cp_k.wait()
-    cp_v.wait()
-    cp_a.wait()
+    def issue(bb, ss, sl):
+        pltpu.make_async_copy(
+            k_hbm.at[bb, pl.ds(ss, width), :], kbuf.at[sl],
+            sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[bb, pl.ds(ss, width), :], vbuf.at[sl],
+            sems.at[sl, 1]).start()
+        pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(bb, 1), :, pl.ds(ss, width)], auxbuf.at[sl],
+            sems.at[sl, 2]).start()
+
+    # double-buffered band prefetch: serialized issue->wait->compute left
+    # the DMA latency exposed on every grid step; here step l prefetches
+    # step l+1's bands into the other buffer slot before waiting its own
+    @pl.when((l == 0) & cur_valid)
+    def _():
+        issue(b, start, slot)
+
+    nb = b + (i + 1) // nt
+    ni = jax.lax.rem(i + 1, nt)
+    next_exists = l + 1 < pl.num_programs(0) * nt
+    next_valid = next_exists & (ni * tile < nv_ref[
+        jnp.minimum(nb, pl.num_programs(0) - 1)])
+
+    @pl.when(next_valid)
+    def _():
+        issue(nb, ni * tile, 1 - slot)
+
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    @pl.when(cur_valid)
+    def _():
+        _fwd_body(q_ref, winq_ref, out_ref, stats_ref, kbuf.at[slot],
+                  vbuf.at[slot], auxbuf.at[slot], sems.at[slot],
+                  tile=tile, width=width, nheads=nheads, head_dim=head_dim)
+
+
+def _fwd_body(q_ref, winq_ref, out_ref, stats_ref, kbuf, vbuf, auxbuf,
+              sems, *, tile, width, nheads, head_dim):
+    pltpu.make_async_copy(kbuf, kbuf, sems.at[0]).wait()
+    pltpu.make_async_copy(vbuf, vbuf, sems.at[1]).wait()
+    pltpu.make_async_copy(auxbuf, auxbuf, sems.at[2]).wait()
 
     q = q_ref[0]                                   # [tile, C]
     wink = auxbuf[0, 0:1, :]                       # [1, width] lane-major
     kvk = auxbuf[0, 1:2, :]                        # [1, width]
     winq = winq_ref[0, :, 0:1]                     # [tile, 1] sublane-major
     mask = (winq == wink) & (kvk > 0.5)            # [tile, width], natural
+    # additive bias replaces a per-head where on the scores; masked
+    # entries reach exp(-1e9 - m) == 0 exactly, and a fully-masked row
+    # gets m == -1e9 so its e == exp(0) spikes — zeroed via the l == 0
+    # detection below (bias rows full of _NEG make l == width there, so
+    # track emptiness from the mask itself once)
+    bias = jnp.where(mask, 0.0, _NEG)
+    nonempty = jnp.max(bias, axis=-1, keepdims=True) > -1.0  # [tile, 1]
+    ones = jnp.ones((width, 1), jnp.float32)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         s = jax.lax.dot_general(
             q[:, sl], kbuf[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = jnp.where(mask, s, _NEG)
+            preferred_element_type=jnp.float32) * scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.where(mask, jnp.exp(s - m), 0.0)
-        l = jnp.sum(e, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)                          # exact 0 at masked
+        # row-sum on the MXU instead of a lane reduction
+        l = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l = jnp.where(nonempty, l, 0.0)
         o = jax.lax.dot_general(
             e.astype(vbuf.dtype), vbuf[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0, :, sl] = (o / jnp.maximum(l, _EPS)).astype(out_ref.dtype)
+        o = jnp.where(nonempty, o / jnp.maximum(l, _EPS), 0.0)
+        out_ref[0, :, sl] = o.astype(out_ref.dtype)
         stats_ref[0, :, h:h + 1] = m                # [tile, 1] sublane write
         stats_ref[0, :, nheads + h:nheads + h + 1] = l
 
@@ -141,38 +190,43 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
         assert width % 128 == 0, (tile, pad)
     qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
 
+    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)   # [B]
     kern = functools.partial(_fwd_kernel, tile=tile, width=width, nheads=H,
                              head_dim=D)
-    out, stats = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, 1), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 2 * H), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, 2 * H), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, width, C), k.dtype),
+            pltpu.VMEM((2, width, C), v.dtype),
+            pltpu.VMEM((2, 1, 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    out, stats = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, V, C), v.dtype),
             jax.ShapeDtypeStruct((B, V, 2 * H), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((width, C), k.dtype),
-            pltpu.VMEM((width, C), v.dtype),
-            pltpu.VMEM((1, 2, width), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         interpret=interpret,
-    )(qf, win_f[:, :, None], kf, vf, aux)
+    )(nv, qf, win_f[:, :, None], kf, vf, aux)
     return out.reshape(B, V, H, D), stats
 
 
@@ -181,20 +235,54 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
-               kbuf, auxbuf, sems, *, tile, width, nheads, head_dim):
+def _dq_kernel(nv_ref, q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm,
+               dq_ref, kbuf, auxbuf, sems, *, tile, width, nheads,
+               head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
     start = i * tile
+    l = b * nt + i
+    slot = jax.lax.rem(l, 2)
+    cur_valid = start < nv_ref[b]
 
-    cp_k = pltpu.make_async_copy(k_hbm.at[b, pl.ds(start, width), :], kbuf,
-                                 sems.at[0])
-    cp_a = pltpu.make_async_copy(
-        aux_hbm.at[pl.ds(b, 1), :, pl.ds(start, width)], auxbuf, sems.at[1])
-    cp_k.start()
-    cp_a.start()
-    cp_k.wait()
-    cp_a.wait()
+    def issue(bb, ss, sl):
+        pltpu.make_async_copy(
+            k_hbm.at[bb, pl.ds(ss, width), :], kbuf.at[sl],
+            sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(bb, 1), :, pl.ds(ss, width)], auxbuf.at[sl],
+            sems.at[sl, 1]).start()
+
+    @pl.when((l == 0) & cur_valid)
+    def _():
+        issue(b, start, slot)
+
+    nb = b + (i + 1) // nt
+    ni = jax.lax.rem(i + 1, nt)
+    next_exists = l + 1 < pl.num_programs(0) * nt
+    next_valid = next_exists & (ni * tile < nv_ref[
+        jnp.minimum(nb, pl.num_programs(0) - 1)])
+
+    @pl.when(next_valid)
+    def _():
+        issue(nb, ni * tile, 1 - slot)
+
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(cur_valid)
+    def _():
+        _dq_body(q_ref, do_ref, st_ref, winq_ref, dq_ref, kbuf.at[slot],
+                 auxbuf.at[slot], sems.at[slot], tile=tile, width=width,
+                 nheads=nheads, head_dim=head_dim)
+
+
+def _dq_body(q_ref, do_ref, st_ref, winq_ref, dq_ref, kbuf, auxbuf, sems,
+             *, tile, width, nheads, head_dim):
+    pltpu.make_async_copy(kbuf, kbuf, sems.at[0]).wait()
+    pltpu.make_async_copy(auxbuf, auxbuf, sems.at[1]).wait()
 
     q = q_ref[0]
     do = do_ref[0]
@@ -202,18 +290,21 @@ def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
     kvk = auxbuf[0, 1:2, :]
     winq = winq_ref[0, :, 0:1]
     mask = (winq == wink) & (kvk > 0.5)
+    bias = jnp.where(mask, 0.0, _NEG)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         m = st_ref[0, :, h:h + 1]                          # [tile, 1]
-        inv_l = 1.0 / jnp.maximum(st_ref[0, :, nheads + h:nheads + h + 1],
-                                  _EPS)
+        lrow = st_ref[0, :, nheads + h:nheads + h + 1]
+        # empty rows stored l == 0; with the bias construction their
+        # p would be exp(0)/EPS — zero inv_l kills them exactly
+        inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
         dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
         s = jax.lax.dot_general(
             q[:, sl], kbuf[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.where(mask, jnp.exp(s - m), 0.0) * inv_l   # [tile, width]
+            preferred_element_type=jnp.float32) * scale + bias
+        p = jnp.exp(s - m) * inv_l                         # [tile, width]
         # dP_ij = dO_i . v_j — the V band rides in the same buffer as K:
         # kbuf holds [K ; V] stacked on channels (see _pallas_backward)
         vsl = slice(nheads * head_dim + sl.start, nheads * head_dim + sl.stop)
@@ -227,25 +318,59 @@ def _dq_kernel(q_ref, do_ref, st_ref, winq_ref, k_hbm, aux_hbm, dq_ref,
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, qs_hbm,
+def _dkv_kernel(nv_ref, k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, qs_hbm,
                 dk_ref, dv_ref, qbuf, dobuf, qsbuf, sems, *,
                 tile, width, nheads, head_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
     start = i * tile
+    l = b * nt + i
+    slot = jax.lax.rem(l, 2)
+    cur_valid = start < nv_ref[b]
 
-    cp_q = pltpu.make_async_copy(q_hbm.at[b, pl.ds(start, width), :], qbuf,
-                                 sems.at[0])
-    cp_o = pltpu.make_async_copy(do_hbm.at[b, pl.ds(start, width), :], dobuf,
-                                 sems.at[1])
-    cp_s = pltpu.make_async_copy(
-        qs_hbm.at[b, pl.ds(start, width), :], qsbuf, sems.at[2])
-    cp_q.start()
-    cp_o.start()
-    cp_s.start()
-    cp_q.wait()
-    cp_o.wait()
-    cp_s.wait()
+    def issue(bb, ss, sl):
+        pltpu.make_async_copy(
+            q_hbm.at[bb, pl.ds(ss, width), :], qbuf.at[sl],
+            sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            do_hbm.at[bb, pl.ds(ss, width), :], dobuf.at[sl],
+            sems.at[sl, 1]).start()
+        pltpu.make_async_copy(
+            qs_hbm.at[bb, pl.ds(ss, width), :], qsbuf.at[sl],
+            sems.at[sl, 2]).start()
+
+    @pl.when((l == 0) & cur_valid)
+    def _():
+        issue(b, start, slot)
+
+    nb = b + (i + 1) // nt
+    ni = jax.lax.rem(i + 1, nt)
+    next_exists = l + 1 < pl.num_programs(0) * nt
+    next_valid = next_exists & (ni * tile < nv_ref[
+        jnp.minimum(nb, pl.num_programs(0) - 1)])
+
+    @pl.when(next_valid)
+    def _():
+        issue(nb, ni * tile, 1 - slot)
+
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(cur_valid)
+    def _():
+        _dkv_body(k_ref, v_ref, aux_t_ref, dk_ref, dv_ref, qbuf.at[slot],
+                  dobuf.at[slot], qsbuf.at[slot], sems.at[slot],
+                  tile=tile, width=width, nheads=nheads, head_dim=head_dim)
+
+
+def _dkv_body(k_ref, v_ref, aux_t_ref, dk_ref, dv_ref, qbuf, dobuf, qsbuf,
+              sems, *, tile, width, nheads, head_dim):
+    pltpu.make_async_copy(qbuf, qbuf, sems.at[0]).wait()
+    pltpu.make_async_copy(dobuf, dobuf, sems.at[1]).wait()
+    pltpu.make_async_copy(qsbuf, qsbuf, sems.at[2]).wait()
 
     kt = k_ref[0]                                  # [tile, C] key tile
     vt = v_ref[0]
@@ -254,18 +379,20 @@ def _dkv_kernel(k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, qs_hbm,
     winq = qsbuf[:, 3 * nheads:3 * nheads + 1]     # [width, 1] sublane
     # pair mask (query i in band, key j in tile): win_i == win_j & kv_j
     mask = (winq == win_t) & (kv_t > 0.5)          # [width, tile]
+    bias = jnp.where(mask, 0.0, _NEG)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         m = qsbuf[:, h:h + 1]                              # [width, 1]
-        inv_l = 1.0 / jnp.maximum(qsbuf[:, nheads + h:nheads + h + 1], _EPS)
+        lrow = qsbuf[:, nheads + h:nheads + h + 1]
+        inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
         dvo = qsbuf[:, 2 * nheads + h:2 * nheads + h + 1]
         # s_ij for queries i (band) x keys j (tile)
         s = jax.lax.dot_general(
             qbuf[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # [width, tile]
-        p = jnp.where(mask, jnp.exp(s - m), 0.0) * inv_l
+            preferred_element_type=jnp.float32) * scale + bias
+        p = jnp.exp(s - m) * inv_l
         dv = jax.lax.dot_general(
             p.astype(dobuf.dtype), dobuf[:, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [tile, Dh]
@@ -300,31 +427,36 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
     kv_band = jnp.concatenate([kf, vf], axis=-1)
     dq_kern = functools.partial(_dq_kernel, tile=tile, width=width,
                                 nheads=H, head_dim=D)
-    dq = pl.pallas_call(
-        dq_kern,
+    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 3 * H), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, 3 * H), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, 1), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, V, C), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((width, 2 * C), k.dtype),
-            pltpu.VMEM((1, 2, width), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, width, 2 * C), k.dtype),
+            pltpu.VMEM((2, 1, 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
+    )
+    dq = pl.pallas_call(
+        dq_kern,
+        grid_spec=dq_grid,
+        out_shape=jax.ShapeDtypeStruct((B, V, C), q.dtype),
         interpret=interpret,
-    )(qf, gf, stats3, win_f[:, :, None], kv_band, aux)
+    )(nv, qf, gf, stats3, win_f[:, :, None], kv_band, aux)
 
     # ---- dk/dv over key tiles ----------------------------------------------
     # query-side per-row data (3H softmax stats + the query window id)
@@ -340,39 +472,43 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
     qs = jnp.pad(qs, ((0, 0), (0, 0), (0, 128 - qs.shape[-1])))
     dkv_kern = functools.partial(_dkv_kernel, tile=tile, width=width,
                                  nheads=H, head_dim=D)
-    dk, dv = pl.pallas_call(
-        dkv_kern,
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 2, tile), lambda b, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, width, C), q.dtype),
+            pltpu.VMEM((2, width, C), g.dtype if hasattr(g, "dtype")
+                       else jnp.float32),
+            pltpu.VMEM((2, width, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kern,
+        grid_spec=dkv_grid,
         out_shape=(
             jax.ShapeDtypeStruct((B, V, C), k.dtype),
             jax.ShapeDtypeStruct((B, V, C), v.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((width, C), q.dtype),
-            pltpu.VMEM((width, C), g.dtype if hasattr(g, "dtype")
-                       else jnp.float32),
-            pltpu.VMEM((width, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         interpret=interpret,
-    )(k.reshape(B, V, C), v.reshape(B, V, C),
+    )(nv, k.reshape(B, V, C), v.reshape(B, V, C),
       aux[:, :, pad:pad + V], qp, gp, qs)
 
     shape = (B, V, H, D)

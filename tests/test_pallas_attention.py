@@ -69,3 +69,29 @@ def test_pallas_pad_not_tile_multiple(rng):
     np.testing.assert_allclose(np.asarray(got)[valid_q],
                                np.asarray(ref)[valid_q], rtol=2e-4,
                                atol=2e-5)
+
+
+def test_empty_row_gradients_are_zero_and_finite(rng):
+    """A valid query whose window has NO valid keys: out = 0 and the
+    gradient w.r.t. q at that row is exactly 0 (the stored normalizer is
+    0 there; without the inv_l guard the bias-form backward would blow
+    up as exp(0)/eps)."""
+    q, k, v, win, kv = make_case(rng, B=1, V=128, H=2, D=8)
+    kv = np.asarray(kv).copy()
+    win_n = np.asarray(win)
+    # kill ALL keys of the first row's window
+    kv[0, win_n[0] == win_n[0, 0]] = False
+    kv = jnp.asarray(kv)
+
+    def loss(q_, k_, v_):
+        o = band_attention_pallas(q_, k_, v_, win, kv, tile=64, pad=128,
+                                  interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2 + o.astype(jnp.float32))
+
+    o = band_attention_pallas(q, k, v, win, kv, tile=64, pad=128,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(o)[0, 0], 0.0, atol=1e-7)
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(gq)[0, 0], 0.0, atol=1e-7)
