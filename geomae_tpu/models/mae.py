@@ -182,17 +182,29 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     med_table = jnp.where(occ_med[..., None], raw_med, 0.0)
 
     # ---- normals & curvature from RAW med centroids ------------------------
+    # The covariance over the 3x3 neighborhood's occupied med centroids
+    # cov_v = sum_n sum_s occ (m - t)(m - t)^T expands to moment algebra
+    #   sum_n [S2_n - S1_n t^T - t S1_n^T + c_n t t^T]
+    # with per-pillar moments c = sum occ, S1 = sum occ*m, S2 = sum
+    # occ*m m^T computed DENSELY — the neighbor gather then moves 13
+    # channels per row instead of the (48 + 16)-channel centroid/occupancy
+    # tables (row gathers were ~60 ms of the targets stage on v5e).
     nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
-    med_nbr = scatter.gather_rows(
-        med_table.reshape(v_cap, s_med * 3), nbr.reshape(-1)).reshape(
-        v_cap, 9, s_med, 3)
-    occ_nbr = scatter.gather_rows(
-        occ_med.astype(jnp.float32), nbr.reshape(-1)).reshape(
-        v_cap, 9, s_med) > 0
-    X = jnp.where(occ_nbr[..., None], med_nbr - top_raw[:, None, None, :],
-                  0.0)
-    X = X.reshape(v_cap, 9 * s_med, 3)
-    cov = jnp.einsum("vki,vkj->vij", X, X)
+    of = occ_med.astype(jnp.float32)
+    cm = jnp.sum(of, axis=1)                                  # [V]
+    S1 = jnp.einsum("vs,vsi->vi", of, med_table)              # [V, 3]
+    S2 = jnp.einsum("vs,vsi,vsj->vij", of, med_table,
+                    med_table).reshape(v_cap, 9)              # [V, 9]
+    feats = jnp.concatenate([cm[:, None], S1, S2], axis=-1)   # [V, 13]
+    agg = scatter.gather_rows(feats, nbr.reshape(-1)).reshape(
+        v_cap, 9, 13).sum(1)                                  # misses -> 0
+    Ca = agg[:, 0]
+    S1a = agg[:, 1:4]
+    S2a = agg[:, 4:13].reshape(v_cap, 3, 3)
+    t = top_raw
+    cov = (S2a - S1a[:, :, None] * t[:, None, :]
+           - t[:, :, None] * S1a[:, None, :]
+           + Ca[:, None, None] * t[:, :, None] * t[:, None, :])
     normal, curv = normal_and_curvature(cov)
 
     vmask = table.valid
