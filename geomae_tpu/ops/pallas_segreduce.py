@@ -415,14 +415,16 @@ def _gather_bwd(chunk, res, g):
     # contract).  In practice the gathered table is always produced through
     # a row-validity ``where`` whose own VJP zeroes those rows' cotangents,
     # so no scatter-based occupancy mask is needed here.
-    # The cotangent reduction uses the SCAN-path segment sum (cumsum +
-    # boundary gathers): the pallas reduce kernel's accumulator chain
-    # serializes its grid (71 ms vs the scan's share of a 58 ms VFE
-    # backward at [4, 262k, 128] on v5e).
-    from .scatter import segment_sum
-    dt = jax.vmap(lambda gg, ss: segment_sum(
-        gg, ss, token.shape[0], sorted_ids=True))(
-        g.astype(jnp.float32), seg_ids)
+    if _on_tpu():
+        # pallas reduce (2.9 ms at [4, 262k, 128] after the natural-
+        # orientation one-hot fix) beats the scan path's cumsum
+        dt = segment_reduce_pallas(g.astype(jnp.float32), seg_ids,
+                                   token.shape[0], False, chunk)
+    else:
+        from .scatter import segment_sum
+        dt = jax.vmap(lambda gg, ss: segment_sum(
+            gg, ss, token.shape[0], sorted_ids=True))(
+            g.astype(jnp.float32), seg_ids)
     return dt.astype(token.dtype), None
 
 
