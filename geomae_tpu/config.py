@@ -120,7 +120,10 @@ class SSTConfig:
     # rematerialize whole SST blocks in backward (torch checkpoint_blocks
     # analogue).  With the fused Pallas attention backward, activations are
     # small enough that remat=False trades ~1 forward of recompute for HBM.
-    remat_blocks: bool = True
+    # False: store block activations (measured faster on v5e now that the
+    # attention backward is kernel-bound: 413 vs 427 ms/step; flip True to
+    # trade ~15 ms for activation memory at larger batches)
+    remat_blocks: bool = False
 
 
 @dataclass(frozen=True)
