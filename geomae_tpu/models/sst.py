@@ -46,24 +46,45 @@ def _permute(x: jnp.ndarray, perm: jnp.ndarray,
 def prepare_shift_data(layouts: Sequence[WindowLayout],
                        pos_embeds: Sequence[jnp.ndarray],
                        key_valid: jnp.ndarray):
-    """Sort pos-embeds and key-validity once per shift.
+    """Per-shift sorted tensors + COMPOSED inter-layer permutations.
+
+    Tokens stay in window-sorted order BETWEEN layers: each block enters
+    in the last shift's order, every layer applies one composed
+    permutation from the previous layer's order (``x_b = x_a[inv_a[
+    perm_b]]``), and only the stack boundary permutes row-order tokens in
+    and out.  This halves the permutation gathers of the
+    permute-attend-unpermute layout (each [4, 20480, 128] permute is
+    ~0.8 ms on v5e; the reference instead scatters into per-window
+    buffers every layer, ``sst_ops.flat2window``).
 
     Args:
       layouts: per-shift batched WindowLayouts.
       pos_embeds: per-shift [B, V, C] in row order.
       key_valid: [B, V] bool in row order (valid & visible tokens).
-    Returns list of dicts with sorted tensors.
+    Returns dict(layers=[per-shift dicts], entry=(perm, inv),
+    cross=[per-layer (perm, inv) or None]).
     """
-    out = []
+    layers = []
     for lay, pos in zip(layouts, pos_embeds):
-        out.append(dict(
-            perm=lay.perm,
-            inv_perm=lay.inv_perm,
+        layers.append(dict(
             win_id=lay.win_id,
             pos_sorted=_take(pos, lay.perm),
             key_valid_sorted=_take(key_valid, lay.perm),
         ))
-    return out
+    n = len(layers)
+    last = (2 - 1) % n            # order blocks start from (= s_{1%n})
+    entry = (layouts[last].perm, layouts[last].inv_perm)
+
+    def compose(a, b):            # tokens in order a -> order b
+        if a is b:
+            return None
+        perm = _take(a.inv_perm, b.perm)
+        inv = _take(b.inv_perm, a.perm)
+        return (perm, inv)
+
+    orders = [layouts[0], layouts[1 % n]]
+    cross = [compose(orders[-1], orders[0]), compose(orders[0], orders[1])]
+    return dict(layers=layers, entry=entry, cross=cross)
 
 
 def _is_tpu_backend() -> bool:
@@ -94,13 +115,13 @@ class WindowMHA(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
-        B, V, C = x.shape
+    def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
+        """``x_s`` arrives ALREADY in this layer's window-sorted order
+        (the block applies the composed inter-layer permutation)."""
+        B, V, C = x_s.shape
         H = self.nhead
         D = C // H
-        perm, inv_perm = shift_data["perm"], shift_data["inv_perm"]
-        x_s = _permute(x, perm, inv_perm)
-        pos = shift_data["pos_sorted"].astype(x.dtype)
+        pos = layer_data["pos_sorted"].astype(x_s.dtype)
         qk_in = x_s + pos
 
         # torch fuses q,k,v into one in_proj; we keep three kernels (same
@@ -123,28 +144,29 @@ class WindowMHA(nn.Module):
             # tile 256 measured 2.5x faster than 128 on v5e (fewer grid
             # steps, larger matmuls/DMAs); 512 regresses (VPU-heavy tiles)
             tile = 256 if V % 256 == 0 else 128
-            out = fused(q, k, v, shift_data["win_id"],
-                        shift_data["key_valid_sorted"], tile)
+            out = fused(q, k, v, layer_data["win_id"],
+                        layer_data["key_valid_sorted"], tile)
         else:
-            out = band_attention(q, k, v, shift_data["win_id"],
-                                 key_valid=shift_data["key_valid_sorted"])
+            out = band_attention(q, k, v, layer_data["win_id"],
+                                 key_valid=layer_data["key_valid_sorted"])
         out = out.reshape(B, V, C)
-        out = nn.Dense(C, dtype=self.dtype, name="out_proj",
-                       kernel_init=nn.initializers.xavier_uniform())(out)
-        return _permute(out, inv_perm, perm)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj",
+                        kernel_init=nn.initializers.xavier_uniform())(out)
 
 
 class EncoderLayer(nn.Module):
-    """Attention + FFN with post-norm residuals (reference ``:84-102``)."""
+    """Attention + FFN with post-norm residuals (reference ``:84-102``).
+    Operates on tokens in THIS layer's window-sorted order (residuals,
+    LN and FFN are per-token, so order is free)."""
 
     cfg: SSTConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, shift_data: dict) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
         c = self.cfg
         a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
-                      name="win_attn")(x, shift_data)
+                      name="win_attn")(x, layer_data)
         # LayerNorm statistics run in f32; cast the output back to the
         # compute dtype so the residual stream stays bf16 (flax LayerNorm
         # would otherwise silently promote every block to f32)
@@ -162,17 +184,25 @@ class EncoderLayer(nn.Module):
 
 
 class BasicShiftBlock(nn.Module):
-    """Two encoder layers: non-shifted then shifted windows."""
+    """Two encoder layers: non-shifted then shifted windows.
+
+    Enters (and leaves) with tokens in the LAST shift's sorted order;
+    each layer applies the composed permutation from the previous
+    layer's order (half the gathers of permute-attend-unpermute)."""
 
     cfg: SSTConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
-        n = len(shift_datas)
+        layers = shift_datas["layers"]
+        n = len(layers)
         for i in range(2):
+            cross = shift_datas["cross"][i]
+            if cross is not None:
+                x = _permute(x, cross[0], cross[1])
             x = EncoderLayer(self.cfg, self.dtype, name=f"encoder_{i}")(
-                x, shift_datas[i % n])
+                x, layers[i % n])
         return x
 
 
@@ -218,5 +248,8 @@ class SSTStack(nn.Module):
             in_axes=nn.broadcast,
             length=self.num_blocks,
         )
+        # row order -> the blocks' entry order, once for the whole stack
+        ep, ei = shift_datas["entry"]
+        x = _permute(x, ep, ei)
         x, _ = scan(self.cfg, self.dtype, name="blocks")(x, shift_datas)
-        return x
+        return _permute(x, ei, ep)

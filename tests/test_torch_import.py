@@ -184,9 +184,8 @@ def test_mha_forward_parity(rng):
     xp[0, :N] = x
     win_id = np.full((1, V), np.iinfo(np.int32).max, np.int32)
     win_id[0, :N] = 0
+    # WindowMHA operates on pre-sorted tokens (identity order here)
     shift_data = dict(
-        perm=jnp.arange(V, dtype=jnp.int32)[None],
-        inv_perm=jnp.arange(V, dtype=jnp.int32)[None],
         win_id=jnp.asarray(win_id),
         pos_sorted=jnp.zeros((1, V, C), jnp.float32),
         key_valid_sorted=jnp.asarray(win_id == 0),
