@@ -416,9 +416,10 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
 
     qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
     gf = g.reshape(B, V, C)
-    # D_i = sum_d dO_id O_id per head — tiny elementwise reduction
-    dvo = jnp.einsum("bvhd,bvhd->bvh", g.astype(jnp.float32),
-                     out.astype(jnp.float32))
+    # D_i = sum_d dO_id O_id per head — bf16 inputs contract straight to
+    # f32 (casting first would materialize two full f32 copies)
+    dvo = jnp.einsum("bvhd,bvhd->bvh", g, out,
+                     preferred_element_type=jnp.float32)
     stats3 = jnp.concatenate([stats, dvo], axis=-1)        # [B, V, 3H]
 
     # ---- dq over query tiles ----------------------------------------------
