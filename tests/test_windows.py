@@ -134,3 +134,43 @@ def test_pos_embed_properties():
     assert np.all(np.isfinite(pe)) and np.all(np.abs(pe) <= 1.0)
     # distinct positions -> distinct embeddings
     assert len(np.unique(pe.round(5), axis=0)) == 144
+
+
+def test_composed_shift_permutations(rng):
+    """prepare_shift_data's entry/cross permutations compose to the same
+    per-shift sorted views as direct permutation by each layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from geomae_tpu.config import SSTConfig, VoxelConfig
+    from geomae_tpu.models.sst import _permute, _take, prepare_shift_data
+    from geomae_tpu.ops.windows import make_layouts
+
+    voxel = VoxelConfig(point_cloud_range=(-5.12, -5.12, -5, 5.12, 5.12, 3),
+                        voxel_size=(0.256, 0.256, 8.0))
+    sst = SSTConfig(d_model=8, nhead=2, window_shape=(12, 12),
+                    shifts=((0, 0), (6, 6)))
+    V = 256
+    coords = jnp.asarray(
+        rng.integers(0, 40, (1, V, 2)).astype(np.int32))
+    valid = jnp.asarray(np.arange(V)[None] < 200)
+    lays = make_layouts(coords, valid, sst, voxel)
+    pos = [jnp.zeros((1, V, 8), jnp.float32) for _ in sst.shifts]
+    data = prepare_shift_data(lays, pos, valid)
+
+    x = jnp.asarray(rng.normal(size=(1, V, 8)).astype(np.float32))
+    ep, ei = data["entry"]
+    x_entry = _permute(x, ep, ei)              # row -> s1 order
+    # cross[0]: s1 -> s0; must equal direct row -> s0
+    c0 = data["cross"][0]
+    got_s0 = _permute(x_entry, c0[0], c0[1])
+    want_s0 = _take(x, lays[0].perm)
+    np.testing.assert_allclose(np.asarray(got_s0), np.asarray(want_s0))
+    # cross[1]: s0 -> s1; must equal direct row -> s1
+    c1 = data["cross"][1]
+    got_s1 = _permute(got_s0, c1[0], c1[1])
+    np.testing.assert_allclose(np.asarray(got_s1),
+                               np.asarray(_take(x, lays[1].perm)))
+    # exit restores row order
+    back = _permute(got_s1, ei, ep)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
