@@ -52,9 +52,13 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        y = y * scale + bias
-        return y.astype(x.dtype)
+        # statistics stay f32; the normalize folds to one affine in the
+        # compute dtype (BN outputs are O(1), so bf16 is safe; measured
+        # neutral on v5e — XLA already fused the f32 casts)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        a = (scale * inv).astype(x.dtype)
+        b = (bias - mean * scale * inv).astype(x.dtype)
+        return x * a + b
 
 
 class MaskedBatchNorm2d(nn.Module):
