@@ -131,13 +131,20 @@ def evaluate_kitti(predictions: List[Dict], ground_truths: List[Dict],
                 taken = np.zeros(len(gb), bool)
                 for i in np.argsort(-sc):
                     cand = iou[i] * (~taken)
-                    j = int(np.argmax(cand)) if len(gb) else -1
-                    if j >= 0 and cand[j] >= thr:
+                    # care GTs take priority: an ignored GT with higher IoU
+                    # must not steal a prediction that also clears a care GT
+                    # (devkit matches against counted GTs first)
+                    cc = np.where(care, cand, 0.0)
+                    j = int(np.argmax(cc)) if len(gb) else -1
+                    if j >= 0 and cc[j] >= thr:
                         taken[j] = True
-                        if care[j]:
-                            all_scores.append(sc[i])
-                            all_tp.append(True)
-                        # ignored GT match: drop silently (devkit)
+                        all_scores.append(sc[i])
+                        all_tp.append(True)
+                        continue
+                    ic = np.where(ignore, cand, 0.0)
+                    j = int(np.argmax(ic)) if len(gb) else -1
+                    if j >= 0 and ic[j] >= thr:
+                        taken[j] = True   # ignored GT match: drop silently
                     else:
                         all_scores.append(sc[i])
                         all_tp.append(False)

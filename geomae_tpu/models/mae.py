@@ -183,28 +183,37 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
 
     # ---- normals & curvature from RAW med centroids ------------------------
     # The covariance over the 3x3 neighborhood's occupied med centroids
-    # cov_v = sum_n sum_s occ (m - t)(m - t)^T expands to moment algebra
-    #   sum_n [S2_n - S1_n t^T - t S1_n^T + c_n t t^T]
-    # with per-pillar moments c = sum occ, S1 = sum occ*m, S2 = sum
-    # occ*m m^T computed DENSELY — the neighbor gather then moves 13
-    # channels per row instead of the (48 + 16)-channel centroid/occupancy
-    # tables (row gathers were ~60 ms of the targets stage on v5e).
+    # cov_u = sum_n sum_s occ (m - t_u)(m - t_u)^T expands to moment
+    # algebra with per-pillar moments c = sum occ, S1 = sum occ*(m - t),
+    # S2 = sum occ*(m - t)(m - t)^T computed about each pillar's OWN top
+    # centroid t (all operands O(sub-voxel meters) — moments about raw
+    # world coordinates cancel catastrophically in f32 for far pillars),
+    # then translated to the receiving pillar u by d_n = t_n - t_u:
+    #   cov_u = sum_n [S2_n + S1_n d^T + d S1_n^T + c_n d d^T]
+    # The neighbor gather moves 16 channels per row instead of the
+    # (48 + 16)-channel centroid/occupancy tables (row gathers were
+    # ~60 ms of the targets stage on v5e).
     nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
     of = occ_med.astype(jnp.float32)
-    cm = jnp.sum(of, axis=1)                                  # [V]
-    S1 = jnp.einsum("vs,vsi->vi", of, med_table)              # [V, 3]
-    S2 = jnp.einsum("vs,vsi,vsj->vij", of, med_table,
-                    med_table).reshape(v_cap, 9)              # [V, 9]
-    feats = jnp.concatenate([cm[:, None], S1, S2], axis=-1)   # [V, 13]
-    agg = scatter.gather_rows(feats, nbr.reshape(-1)).reshape(
-        v_cap, 9, 13).sum(1)                                  # misses -> 0
-    Ca = agg[:, 0]
-    S1a = agg[:, 1:4]
-    S2a = agg[:, 4:13].reshape(v_cap, 3, 3)
     t = top_raw
-    cov = (S2a - S1a[:, :, None] * t[:, None, :]
-           - t[:, :, None] * S1a[:, None, :]
-           + Ca[:, None, None] * t[:, :, None] * t[:, None, :])
+    mt = med_table - t[:, None, :]                 # centered, own frame
+    cm = jnp.sum(of, axis=1)                                  # [V]
+    S1 = jnp.einsum("vs,vsi->vi", of, mt)                     # [V, 3]
+    S2 = jnp.einsum("vs,vsi,vsj->vij", of, mt,
+                    mt).reshape(v_cap, 9)                     # [V, 9]
+    feats = jnp.concatenate([cm[:, None], S1, S2, t], axis=-1)  # [V, 16]
+    agg = scatter.gather_rows(feats, nbr.reshape(-1)).reshape(
+        v_cap, 9, 16)                                         # misses -> 0
+    Cn = agg[:, :, 0]                                         # [V, 9]
+    S1n = agg[:, :, 1:4]                                      # [V, 9, 3]
+    S2n = agg[:, :, 4:13].reshape(v_cap, 9, 3, 3)
+    # miss rows have Cn = S1n = S2n = 0 and tn = 0, so every term of the
+    # translation vanishes regardless of d
+    d = agg[:, :, 13:16] - t[:, None, :]                      # [V, 9, 3]
+    cov = (S2n + S1n[..., :, None] * d[..., None, :]
+           + d[..., :, None] * S1n[..., None, :]
+           + Cn[..., None, None] * d[..., :, None] * d[..., None, :]
+           ).sum(1)
     normal, curv = normal_and_curvature(cov)
 
     vmask = table.valid

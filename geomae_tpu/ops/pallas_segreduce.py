@@ -80,8 +80,17 @@ def _rows_pad(num_segments, chunk):
 # ---------------------------------------------------------------------------
 
 
+def _data_precision(dtype):
+    """MXU default precision truncates f32 operands to bf16; that is exact
+    for data that was born bf16 but lossy for true-f32 payloads (raw xyz
+    spans +-51.2 m; bf16 ulp there ~0.25 m).  The one-hot operand is exact
+    either way, so only the data operand's origin dtype decides."""
+    return (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
-                   chunk, is_max):
+                   chunk, is_max, prec):
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
@@ -120,7 +129,8 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
         is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
         E = ((rel == j) & is_end).astype(jnp.float32)     # [T, out]
         W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         has_end = jax.lax.dot_general(
             E, jnp.ones((chunk, 1), jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(chunk, 1) > 0.5
@@ -130,7 +140,8 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
     else:
         E = (rel == j).astype(jnp.float32)                # [T, out]
         W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
     # one table write per batch row (the accumulator is VMEM-resident
@@ -145,6 +156,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
 def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
     B, P, C = x.shape
     assert P % chunk == 0, (P, chunk)
+    dtype_in = x.dtype
     x, Cp = _pad_channels(x, is_max)
     seg_f = seg_ids.astype(jnp.float32)
     nxt = jnp.concatenate(
@@ -154,7 +166,8 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
     rows = _rows_pad(num_segments, chunk)
 
     kern = functools.partial(_reduce_kernel, chunk=chunk,
-                             is_max=bool(is_max))
+                             is_max=bool(is_max),
+                             prec=_data_precision(dtype_in))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
@@ -234,7 +247,7 @@ segment_reduce_pallas.defvjp(_reduce_fwd, _reduce_bwd)
 
 
 def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
-                 chunk, cv, group_slots):
+                 chunk, cv, group_slots, prec):
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
@@ -266,7 +279,8 @@ def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
         .astype(jnp.float32)
     E = (rel == j).astype(jnp.float32)
     W = jax.lax.dot_general(E, prod, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     start = meta_ref[b, i]
     acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
@@ -299,7 +313,8 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
     lanes = group_slots * cv
 
     kern = functools.partial(_slot_kernel, chunk=chunk, cv=cv,
-                             group_slots=group_slots)
+                             group_slots=group_slots,
+                             prec=_data_precision(vals.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_groups, P // chunk),
@@ -332,7 +347,7 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 
 
 def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
-                   chunk):
+                   chunk, prec):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -354,7 +369,8 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
     window = tbl[pl.ds(start, chunk), :]
     out_ref[0] = jax.lax.dot_general(
         E, window, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(out_ref.dtype)
 
 
 def _gather_forward(table, seg_ids, chunk):
@@ -370,7 +386,8 @@ def _gather_forward(table, seg_ids, chunk):
     seg2 = jnp.stack([seg_f, seg_f], axis=-1)   # 2 lanes: proven tiling
     meta = _seg0_meta(seg_ids, S, chunk)
 
-    kern = functools.partial(_gather_kernel, chunk=chunk)
+    kern = functools.partial(_gather_kernel, chunk=chunk,
+                             prec=_data_precision(dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),

@@ -5,6 +5,13 @@ Replaces mmcv ``CheckpointHook`` + ``resume_from``/``load_from``
 207-217``): full-state checkpoints (params + batch_stats + optimizer +
 step) every N steps with retention, plus weights-only export for fine-tune
 consumption (the ``publish_model`` analogue).
+
+Layout note: SST stacks are ``nn.scan``-compiled, so block parameters live
+under a stacked ``blocks/block/...`` subtree (leading axis = depth), not
+per-block ``block_{i}`` subtrees.  Checkpoints written before that change
+do not restore directly; ``train/torch_import.py`` contains the stacking
+transform should a legacy tree ever need migrating (none are known to
+exist — the layout predates any released checkpoint of this repo).
 """
 from __future__ import annotations
 
