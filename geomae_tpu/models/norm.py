@@ -9,8 +9,73 @@ match the GeoMAE configs.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm with compact residuals (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fast_layer_norm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the last axis; statistics in f32, output in x.dtype.
+
+    The custom VJP saves only (x, per-row mu/rs) — autodiff of the naive
+    expression instead stores the full f32 normalized tensor per call
+    site, which at [4, 20480, 128] x 32 LN sites is ~1.3 GB of extra HBM
+    traffic per step — and computes the standard fused LN backward
+      dx = rs * (g - mean(g) - xhat * mean(g * xhat)),  g = dy * scale
+    in one elementwise chain."""
+    y, _ = _ln_fwd(x, scale, bias, eps)
+    return y
+
+
+def _ln_fwd(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    rs = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rs
+    y = (xhat * scale.astype(jnp.float32)
+         + bias.astype(jnp.float32)).astype(x.dtype)
+    return y, (x, mu, rs, scale, bias)
+
+
+def _ln_bwd(eps, res, dy):
+    x, mu, rs, scale, bias = res
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mu) * rs
+    dyf = dy.astype(jnp.float32)
+    g = dyf * scale.astype(jnp.float32)
+    mg = jnp.mean(g, axis=-1, keepdims=True)
+    mgx = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    dx = (rs * (g - mg - xhat * mgx)).astype(x.dtype)
+    red = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(dyf * xhat, axis=red).astype(scale.dtype)
+    dbias = jnp.sum(dyf, axis=red).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+fast_layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+class FastLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` (same param names/shapes) built on
+    :func:`fast_layer_norm`; returns ``x.dtype`` directly."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return fast_layer_norm(x, scale, bias, self.epsilon)
 
 
 class MaskedBatchNorm(nn.Module):

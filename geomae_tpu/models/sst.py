@@ -27,6 +27,7 @@ from ..config import SSTConfig
 from ..ops.attention import band_attention
 from ..ops.scatter import permute_rows
 from ..ops.windows import WindowLayout
+from .norm import FastLayerNorm
 
 
 def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -167,11 +168,9 @@ class EncoderLayer(nn.Module):
         c = self.cfg
         a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
                       name="win_attn")(x, layer_data)
-        # LayerNorm statistics run in f32; cast the output back to the
-        # compute dtype so the residual stream stays bf16 (flax LayerNorm
-        # would otherwise silently promote every block to f32)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a).astype(
-            self.dtype)
+        # custom-VJP LayerNorm: f32 statistics, compute-dtype residual
+        # stream, compact backward residuals (models/norm.py)
+        x = FastLayerNorm(epsilon=1e-5, name="norm1")(x + a)
         act = nn.gelu if c.activation == "gelu" else nn.relu
         h = nn.Dense(c.dim_feedforward, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
@@ -179,8 +178,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dense(c.d_model, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear2")(act(h))
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h).astype(
-            self.dtype)
+        return FastLayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class BasicShiftBlock(nn.Module):

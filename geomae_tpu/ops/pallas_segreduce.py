@@ -80,17 +80,29 @@ def _rows_pad(num_segments, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _data_precision(dtype):
-    """MXU default precision truncates f32 operands to bf16; that is exact
-    for data that was born bf16 but lossy for true-f32 payloads (raw xyz
-    spans +-51.2 m; bf16 ulp there ~0.25 m).  The one-hot operand is exact
-    either way, so only the data operand's origin dtype decides."""
-    return (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+def _route(E, x, split):
+    """Route payload rows with the one-hot: ``W = E^T x`` (contract dim 0).
+
+    Mosaic's DEFAULT matmul precision truncates f32 operands to bf16
+    (measured on v5e: max rel err 0.72 on +-51 m payloads), and HIGHEST
+    costs 22x (6-pass emulation of BOTH operands, though the one-hot is
+    exact in bf16).  For true-f32 payloads we split hi/lo instead:
+    ``x = hi + lo`` with each part exact in bf16, two DEFAULT passes,
+    ~2^-16 relative error (measured 1e-5 vs f64 oracle) at ~2x cost."""
+    dims = (((0,), (0,)), ((), ()))
+    if not split:
+        return jax.lax.dot_general(E, x, dims,
+                                   preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    return (jax.lax.dot_general(E, hi, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(E, lo, dims,
+                                  preferred_element_type=jnp.float32))
 
 
 def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
-                   chunk, is_max, prec):
+                   chunk, is_max, split):
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
@@ -128,9 +140,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
         # row is forced to be an end anyway
         is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
         E = ((rel == j) & is_end).astype(jnp.float32)     # [T, out]
-        W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
+        W = _route(E, x, split)
         has_end = jax.lax.dot_general(
             E, jnp.ones((chunk, 1), jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(chunk, 1) > 0.5
@@ -139,9 +149,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
             acc[pl.ds(start, chunk), :], W)
     else:
         E = (rel == j).astype(jnp.float32)                # [T, out]
-        W = jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
+        W = _route(E, x, split)
         acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
     # one table write per batch row (the accumulator is VMEM-resident
@@ -153,10 +161,10 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
         cp.wait()
 
 
-def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
+def _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact=True):
     B, P, C = x.shape
     assert P % chunk == 0, (P, chunk)
-    dtype_in = x.dtype
+    split = exact and jnp.dtype(x.dtype) == jnp.float32
     x, Cp = _pad_channels(x, is_max)
     seg_f = seg_ids.astype(jnp.float32)
     nxt = jnp.concatenate(
@@ -166,8 +174,7 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
     rows = _rows_pad(num_segments, chunk)
 
     kern = functools.partial(_reduce_kernel, chunk=chunk,
-                             is_max=bool(is_max),
-                             prec=_data_precision(dtype_in))
+                             is_max=bool(is_max), split=split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
@@ -192,18 +199,22 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk):
     return out[:, :num_segments, :C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def segment_reduce_pallas(x, seg_ids, num_segments: int, is_max: bool,
-                          chunk: int = DEFAULT_CHUNK):
+                          chunk: int = DEFAULT_CHUNK, exact: bool = True):
     """Segmented sum/max of ``x`` [B, P, C] over ASCENDING ``seg_ids``
     [B, P] (int32; ids >= num_segments = padding suffix).  Returns
     [B, num_segments, C] float32; empty-segment rows are 0 (sum) or the
-    neutral -3e38 (max) — callers mask with their row-validity."""
-    return _reduce_forward(x, seg_ids, num_segments, is_max, chunk)
+    neutral -3e38 (max) — callers mask with their row-validity.
+
+    ``exact=True`` (default) hi/lo-splits true-f32 payloads so the routing
+    matmuls don't silently truncate to bf16 (see ``_route``); cotangent
+    paths pass False (bf16-level gradient noise is free accuracy-wise)."""
+    return _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact)
 
 
-def _reduce_fwd(x, seg_ids, num_segments, is_max, chunk):
-    out = _reduce_forward(x, seg_ids, num_segments, is_max, chunk)
+def _reduce_fwd(x, seg_ids, num_segments, is_max, chunk, exact):
+    out = _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact)
     return out, (x, seg_ids, out)
 
 
@@ -218,14 +229,14 @@ def _bwd_gather(table, seg_ids, num_segments, chunk):
     """Cotangent broadcast-back: pallas on TPU, XLA rows gather elsewhere
     (custom-VJP bodies trace outside any interpret-mode context)."""
     if _on_tpu():
-        return segment_gather_pallas(table, seg_ids, chunk)
+        return segment_gather_pallas(table, seg_ids, chunk, False)
     safe = jnp.clip(seg_ids, 0, num_segments - 1)
     rows = jnp.take_along_axis(table, safe[..., None], axis=1)
     ok = (seg_ids >= 0) & (seg_ids < num_segments)
     return jnp.where(ok[..., None], rows, 0.0)
 
 
-def _reduce_bwd(num_segments, is_max, chunk, res, g):
+def _reduce_bwd(num_segments, is_max, chunk, exact, res, g):
     x, seg_ids, out = res
     g_pt = _bwd_gather(g.astype(jnp.float32), seg_ids, num_segments, chunk)
     if is_max:
@@ -247,7 +258,7 @@ segment_reduce_pallas.defvjp(_reduce_fwd, _reduce_bwd)
 
 
 def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
-                 chunk, cv, group_slots, prec):
+                 chunk, cv, group_slots, split):
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
@@ -278,9 +289,7 @@ def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
         .astype(jnp.float32)
     E = (rel == j).astype(jnp.float32)
-    W = jax.lax.dot_general(E, prod, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
+    W = _route(E, prod, split)
     start = meta_ref[b, i]
     acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
@@ -314,7 +323,7 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 
     kern = functools.partial(_slot_kernel, chunk=chunk, cv=cv,
                              group_slots=group_slots,
-                             prec=_data_precision(vals.dtype))
+                             split=jnp.dtype(vals.dtype) == jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_groups, P // chunk),
@@ -347,7 +356,7 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 
 
 def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
-                   chunk, prec):
+                   chunk, split):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -367,17 +376,26 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
     E = ((seg - seg0) == j).astype(jnp.float32)   # [T, window], natural
     start = meta_ref[b, i]
     window = tbl[pl.ds(start, chunk), :]
-    out_ref[0] = jax.lax.dot_general(
-        E, window, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec).astype(out_ref.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    if split:
+        hi = window.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = window - hi
+        out = (jax.lax.dot_general(E, hi, dims,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(E, lo, dims,
+                                     preferred_element_type=jnp.float32))
+    else:
+        out = jax.lax.dot_general(E, window, dims,
+                                  preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _gather_forward(table, seg_ids, chunk):
+def _gather_forward(table, seg_ids, chunk, exact=True):
     B, S, C = table.shape
     P = seg_ids.shape[1]
     assert P % chunk == 0, (P, chunk)
     dtype = table.dtype
+    split = exact and jnp.dtype(dtype) == jnp.float32
     table, Cp = _pad_channels(table.astype(jnp.float32), False)
     # one-hot windows reach [start, start + chunk): pad the row axis
     rows = _rows_pad(S, chunk)
@@ -386,8 +404,7 @@ def _gather_forward(table, seg_ids, chunk):
     seg2 = jnp.stack([seg_f, seg_f], axis=-1)   # 2 lanes: proven tiling
     meta = _seg0_meta(seg_ids, S, chunk)
 
-    kern = functools.partial(_gather_kernel, chunk=chunk,
-                             prec=_data_precision(dtype))
+    kern = functools.partial(_gather_kernel, chunk=chunk, split=split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
@@ -411,22 +428,24 @@ def _gather_forward(table, seg_ids, chunk):
     return out[..., :C].astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def segment_gather_pallas(table, seg_ids, chunk: int = DEFAULT_CHUNK):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_gather_pallas(table, seg_ids, chunk: int = DEFAULT_CHUNK,
+                          exact: bool = True):
     """``out[b, t] = table[b, seg_ids[b, t]]`` for ASCENDING dense ids
     (same contract as :func:`segment_reduce_pallas`); rows with
-    ``seg_ids >= table.shape[1]`` (sentinel suffix) return 0."""
-    return _gather_forward(table, seg_ids, chunk)
+    ``seg_ids >= table.shape[1]`` (sentinel suffix) return 0.  ``exact``
+    as in :func:`segment_reduce_pallas` (one-hot routing is a matmul)."""
+    return _gather_forward(table, seg_ids, chunk, exact)
 
 
-def _gather_fwd(table, seg_ids, chunk):
+def _gather_fwd(table, seg_ids, chunk, exact):
     # zero-width token carries the STATIC table length + dtype through the
     # residuals (custom_vjp residuals must be JAX types)
     token = jnp.zeros((table.shape[1], 0), table.dtype)
-    return _gather_forward(table, seg_ids, chunk), (token, seg_ids)
+    return _gather_forward(table, seg_ids, chunk, exact), (token, seg_ids)
 
 
-def _gather_bwd(chunk, res, g):
+def _gather_bwd(chunk, exact, res, g):
     token, seg_ids = res
     # NOTE: rows of the result no point maps to are garbage (see the reduce
     # contract).  In practice the gathered table is always produced through
@@ -436,7 +455,7 @@ def _gather_bwd(chunk, res, g):
         # pallas reduce (2.9 ms at [4, 262k, 128] after the natural-
         # orientation one-hot fix) beats the scan path's cumsum
         dt = segment_reduce_pallas(g.astype(jnp.float32), seg_ids,
-                                   token.shape[0], False, chunk)
+                                   token.shape[0], False, chunk, False)
     else:
         from .scatter import segment_sum
         dt = jax.vmap(lambda gg, ss: segment_sum(

@@ -102,3 +102,36 @@ def test_box_mode_round_trips():
     rt = np.eye(4); rt[:3, 3] = [1.0, 2.0, 3.0]
     shifted = convert(boxes, Box3DMode.LIDAR, Box3DMode.CAM, rt_mat=rt)
     np.testing.assert_allclose(shifted[:, :3], boxes[:, :3] + [1, 2, 3])
+
+
+def test_fast_layer_norm_matches_autodiff():
+    """fast_layer_norm forward == flax nn.LayerNorm; custom VJP == autodiff."""
+    import flax.linen as nn
+
+    from geomae_tpu.models.norm import fast_layer_norm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 64, 128)).astype(np.float32)) * 3 + 1
+    scale = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+
+    ref_mod = nn.LayerNorm(epsilon=1e-5)
+    ref = ref_mod.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = fast_layer_norm(x, scale, bias, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    dy = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    def f_ref(x_, s_, b_):
+        return jnp.sum(ref_mod.apply({"params": {"scale": s_, "bias": b_}},
+                                     x_) * dy)
+
+    def f_got(x_, s_, b_):
+        return jnp.sum(fast_layer_norm(x_, s_, b_, 1e-5) * dy)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, bias)
+    g_got = jax.grad(f_got, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

@@ -42,13 +42,21 @@ def main():
         return sum(jnp.sum(l.astype(jnp.float32))
                    for l in jax.tree_util.tree_leaves(out))
 
+    # relay fetch round-trip floor (null program), subtracted per call
+    null = jax.jit(lambda x: x + 1.0)
+    float(null(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(8):
+        float(null(jnp.float32(i)))
+    floor = (time.perf_counter() - t0) / 8
+
     def bench(name, fn, n=4):
         f = jax.jit(lambda i: scalarize(fn(i)))
         float(f(jnp.float32(0)))
         t0 = time.perf_counter()
         for i in range(1, n + 1):
             float(f(jnp.float32(i)))
-        dt = (time.perf_counter() - t0) / n
+        dt = (time.perf_counter() - t0) / n - floor
         print(f"{name:26s} {dt * 1000:8.1f} ms", flush=True)
 
     eps = 1e-5

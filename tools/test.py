@@ -36,10 +36,9 @@ def parse_args():
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--dataset", default="nuscenes",
                    choices=["nuscenes", "kitti", "waymo"],
-                   help="dataset family; kitti/waymo score with the KITTI "
-                        "AP_R40 protocol (the reference's Waymo metrics "
-                        "binary is not redistributable — documented "
-                        "stand-in)")
+                   help="dataset family; kitti scores with the KITTI "
+                        "AP_R40 protocol, waymo with the Waymo AP/APH "
+                        "protocol (eval/waymo_eval.py)")
     return p.parse_args()
 
 
@@ -106,12 +105,20 @@ def main():
             metrics = evaluate(preds, gts, NUS_CLASSES)
         else:
             from geomae_tpu.data.waymo import WAYMO_CLASSES
-            from geomae_tpu.eval.kitti_eval import evaluate_kitti
             to_names = lambda f: dict(
                 f, names=np.asarray([WAYMO_CLASSES[int(l)]
                                      for l in f["labels"]]))
-            metrics = evaluate_kitti([to_names(p) for p in preds],
-                                     [to_names(g) for g in gts])
+            if args.dataset == "waymo":
+                # Waymo AP/APH protocol (eval/waymo_eval.py); infos without
+                # per-GT point counts score everything as LEVEL_1
+                from geomae_tpu.eval.waymo_eval import evaluate_waymo
+                metrics = evaluate_waymo([to_names(p) for p in preds],
+                                         [to_names(g) for g in gts],
+                                         classes=WAYMO_CLASSES)
+            else:
+                from geomae_tpu.eval.kitti_eval import evaluate_kitti
+                metrics = evaluate_kitti([to_names(p) for p in preds],
+                                         [to_names(g) for g in gts])
         print(json.dumps({k: round(v, 4) for k, v in metrics.items()},
                          indent=2))
 
