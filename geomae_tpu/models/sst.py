@@ -171,7 +171,10 @@ class EncoderLayer(nn.Module):
         # custom-VJP LayerNorm: f32 statistics, compute-dtype residual
         # stream, compact backward residuals (models/norm.py)
         x = FastLayerNorm(epsilon=1e-5, name="norm1")(x + a)
-        act = nn.gelu if c.activation == "gelu" else nn.relu
+        # torch F.gelu is the exact erf form; flax defaults to the tanh
+        # approximation — exact keeps forward parity with the reference
+        act = ((lambda t: nn.gelu(t, approximate=False))
+               if c.activation == "gelu" else nn.relu)
         h = nn.Dense(c.dim_feedforward, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform(),
                      name="linear1")(x)

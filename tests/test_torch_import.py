@@ -235,3 +235,165 @@ def test_load_torch_state_dict_roundtrip(rng, tmp_path):
     out = load_torch_state_dict(path)
     np.testing.assert_allclose(out["backbone.mask_token"],
                                sd["backbone.mask_token"].numpy())
+
+
+# ---------------------------------------------------------------------------
+# stage-level forward parity (VERDICT round-2 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_encoder_layer_forward_parity(rng):
+    """Full reference EncoderLayer chain (MHA + residual + LN + FFN +
+    residual + LN, gelu) == our EncoderLayer via imported weights."""
+    from geomae_tpu.config import SSTConfig
+    from geomae_tpu.models.sst import EncoderLayer
+
+    C, H, ff, N, V = 32, 4, 64, 24, 128
+    mha = torch.nn.MultiheadAttention(C, H, dropout=0.0)
+    lin1 = torch.nn.Linear(C, ff)
+    lin2 = torch.nn.Linear(ff, C)
+    n1 = torch.nn.LayerNorm(C)
+    n2 = torch.nn.LayerNorm(C)
+    for m in (n1, n2):
+        with torch.no_grad():
+            m.weight.copy_(torch.from_numpy(_rand(rng, C) + 1))
+            m.bias.copy_(torch.from_numpy(_rand(rng, C)))
+    x = _rand(rng, N, C)
+    pos = _rand(rng, N, C)
+    with torch.no_grad():
+        xt = torch.from_numpy(x)[:, None]
+        qk = xt + torch.from_numpy(pos)[:, None]
+        a, _ = mha(qk, qk, value=xt, need_weights=False)
+        src = n1(xt + a)
+        src2 = lin2(torch.nn.functional.gelu(lin1(src)))
+        ref = n2(src + src2)[:, 0].numpy()
+
+    base = "backbone.encoder_blocks.0.encoder_list.0"
+    sd = {f"{base}.win_attn.self_attn.{k}": np.asarray(v)
+          for k, v in mha.state_dict().items()}
+    for name, mod in (("linear1", lin1), ("linear2", lin2),
+                      ("norm1", n1), ("norm2", n2)):
+        for k, v in mod.state_dict().items():
+            sd[f"{base}.{name}.{k}"] = np.asarray(v.detach())
+
+    def leaf(*p):
+        return jnp.asarray(_resolve(
+            ("encoder", "blocks", "block", "encoder_0") + p, sd,
+            "pretrain")[0])
+
+    params = {
+        "win_attn": {m: {l: leaf("win_attn", m, l)
+                         for l in ("kernel", "bias")}
+                     for m in ("q_proj", "k_proj", "v_proj", "out_proj")},
+        "linear1": {l: leaf("linear1", l) for l in ("kernel", "bias")},
+        "linear2": {l: leaf("linear2", l) for l in ("kernel", "bias")},
+        "norm1": {l: leaf("norm1", l) for l in ("scale", "bias")},
+        "norm2": {l: leaf("norm2", l) for l in ("scale", "bias")},
+    }
+
+    xp = np.zeros((1, V, C), np.float32)
+    xp[0, :N] = x
+    pp = np.zeros((1, V, C), np.float32)
+    pp[0, :N] = pos
+    win_id = np.full((1, V), np.iinfo(np.int32).max, np.int32)
+    win_id[0, :N] = 0
+    layer_data = dict(win_id=jnp.asarray(win_id),
+                      pos_sorted=jnp.asarray(pp),
+                      key_valid_sorted=jnp.asarray(win_id == 0))
+    m = EncoderLayer(SSTConfig(d_model=C, nhead=H, dim_feedforward=ff,
+                               attention_impl="einsum"))
+    out = m.apply({"params": params}, jnp.asarray(xp), layer_data)
+    np.testing.assert_allclose(np.asarray(out[0, :N]), ref,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_second_stage_forward_parity(rng):
+    """torch [Conv3x3 s2 + BN + ReLU] + 2 x [Conv3x3 + BN + ReLU]
+    (sst_second_pretrained_v1.py:140-167, bias=False) == SECONDStages."""
+    from geomae_tpu.config import SECONDConfig
+    from geomae_tpu.models.second import SECONDStages
+
+    CIN, COUT, Hs = 8, 16, 16
+    mods = []
+    chans = [(CIN, 2)] + [(COUT, 1)] * 2
+    for cin, stride in chans:
+        mods += [torch.nn.Conv2d(cin, COUT, 3, stride=stride, padding=1,
+                                 bias=False),
+                 torch.nn.BatchNorm2d(COUT, eps=1e-3, momentum=0.01),
+                 torch.nn.ReLU()]
+    seq = torch.nn.Sequential(*mods)
+    for m in seq:
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(_rand(rng, COUT)))
+                m.running_var.copy_(torch.from_numpy(
+                    np.abs(_rand(rng, COUT)) + 0.5))
+                m.weight.copy_(torch.from_numpy(_rand(rng, COUT) + 1))
+                m.bias.copy_(torch.from_numpy(_rand(rng, COUT)))
+    seq.eval()
+    x = _rand(rng, 1, CIN, Hs, Hs)
+    with torch.no_grad():
+        ref = seq(torch.from_numpy(x)).numpy()      # NCHW
+
+    sd = {f"backbone.conv_blocks.0.{i}.{k}": np.asarray(v.detach())
+          for i, m in enumerate(seq) for k, v in m.state_dict().items()}
+    cfg = SECONDConfig(in_channels=CIN, out_channels=(COUT,),
+                       layer_nums=(2,), layer_strides=(2,))
+    model = SECONDStages(cfg)
+    var = model.init(jax.random.PRNGKey(0),
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    import flax.traverse_util as tu
+    for coll in ("params", "batch_stats"):
+        flat = tu.flatten_dict(var[coll])
+        for path in flat:
+            v = _resolve(("second",) + tuple(path), sd, "finetune")
+            assert v is not None, path
+            flat[path] = jnp.asarray(np.ascontiguousarray(v))
+        var[coll] = tu.unflatten_dict(flat)
+    out = model.apply({"params": var["params"],
+                       "batch_stats": var["batch_stats"]},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), False)[0]
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fpn_deblock_forward_parity(rng):
+    """torch ConvTranspose2d(k=s=2, bias=False) + BN + ReLU
+    (second_fpn.py:42-65) == a SECONDFPN level."""
+    from geomae_tpu.config import FPNConfig
+    from geomae_tpu.models.second import SECONDFPN
+
+    CIN, COUT, Hs = 8, 16, 10
+    de = torch.nn.ConvTranspose2d(CIN, COUT, 2, stride=2, bias=False)
+    bn = torch.nn.BatchNorm2d(COUT, eps=1e-3, momentum=0.01)
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.from_numpy(_rand(rng, COUT)))
+        bn.running_var.copy_(torch.from_numpy(np.abs(_rand(rng, COUT)) + 0.5))
+        bn.weight.copy_(torch.from_numpy(_rand(rng, COUT) + 1))
+        bn.bias.copy_(torch.from_numpy(_rand(rng, COUT)))
+    de.eval(); bn.eval()
+    x = _rand(rng, 1, CIN, Hs, Hs)
+    with torch.no_grad():
+        ref = torch.relu(bn(de(torch.from_numpy(x)))).numpy()
+
+    sd = {f"neck.deblocks.0.0.{k}": np.asarray(v.detach())
+          for k, v in de.state_dict().items()}
+    sd.update({f"neck.deblocks.0.1.{k}": np.asarray(v.detach())
+               for k, v in bn.state_dict().items()})
+    cfg = FPNConfig(in_channels=(CIN,), out_channels=(COUT,),
+                    upsample_strides=(2,))
+    model = SECONDFPN(cfg)
+    xs = [jnp.asarray(x.transpose(0, 2, 3, 1))]
+    var = model.init(jax.random.PRNGKey(0), xs, False)
+    import flax.traverse_util as tu
+    for coll in ("params", "batch_stats"):
+        flat = tu.flatten_dict(var[coll])
+        for path in flat:
+            v = _resolve(("neck",) + tuple(path), sd, "finetune")
+            assert v is not None, path
+            flat[path] = jnp.asarray(np.ascontiguousarray(v))
+        var[coll] = tu.unflatten_dict(flat)
+    out = model.apply({"params": var["params"],
+                       "batch_stats": var["batch_stats"]}, xs, False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=2e-4, atol=2e-4)
