@@ -40,7 +40,7 @@ from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
 from ..ops.voxelize import Scene, neighbor_rows
 from ..ops.windows import make_layouts, positional_embedding, window_ids
-from .sst import SSTStack, prepare_shift_data
+from .sst import SSTStack, SSTStackPair, prepare_shift_data
 from .vfe import DynamicScatterVFE
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -400,10 +400,12 @@ class GeoMAE(nn.Module):
             dec_pos.append(positional_embedding(ciw, cfg.sst))
         dec_data = prepare_shift_data(dec_layouts, dec_pos, table.valid)
 
-        cent = SSTStack(cfg.sst, cfg.mae.decoder_blocks, dtype,
-                        name="decoder_centroid")(dec_in, dec_data)
-        dens = SSTStack(cfg.sst, cfg.mae.decoder_blocks, dtype,
-                        name="decoder_density")(dec_in, dec_data)
+        # the two parameter-independent decoder branches (reference
+        # backbone :236-303) run as ONE grouped stack over a [2B] batch —
+        # half the kernel launches; branch 0 = centroid, 1 = density
+        dec_out = SSTStackPair(cfg.sst, cfg.mae.decoder_blocks, 2, dtype,
+                               name="decoders")(dec_in, dec_data)
+        cent, dens = dec_out[0], dec_out[1]
 
         xavier = nn.initializers.xavier_uniform()
         head = lambda n, name: nn.Dense(n, dtype=dtype, kernel_init=xavier,

@@ -21,14 +21,29 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def _reduce_to_shape(t, shape):
+    """Sum ``t`` down to broadcast-source ``shape`` (for dscale/dbias when
+    scale/bias carry broadcast leading axes, e.g. grouped [G, 1, 1, C])."""
+    extra = t.ndim - len(shape)
+    if extra:
+        t = t.sum(axis=tuple(range(extra)))
+    ax = tuple(i for i, (a, b) in enumerate(zip(t.shape, shape))
+               if b == 1 and a != 1)
+    if ax:
+        t = t.sum(axis=ax, keepdims=True)
+    return t.reshape(shape)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fast_layer_norm(x, scale, bias, eps: float = 1e-5):
     """LayerNorm over the last axis; statistics in f32, output in x.dtype.
 
-    The custom VJP saves only (x, per-row mu/rs) — autodiff of the naive
-    expression instead stores the full f32 normalized tensor per call
-    site, which at [4, 20480, 128] x 32 LN sites is ~1.3 GB of extra HBM
-    traffic per step — and computes the standard fused LN backward
+    ``scale``/``bias`` may be [C] or any shape broadcastable to ``x``
+    (grouped variants pass [G, 1, 1, C]).  The custom VJP saves only
+    (x, per-row mu/rs) — autodiff of the naive expression instead stores
+    the full f32 normalized tensor per call site, which at
+    [4, 20480, 128] x 32 LN sites is ~1.3 GB of extra HBM traffic per
+    step — and computes the standard fused LN backward
       dx = rs * (g - mean(g) - xhat * mean(g * xhat)),  g = dy * scale
     in one elementwise chain."""
     y, _ = _ln_fwd(x, scale, bias, eps)
@@ -55,9 +70,8 @@ def _ln_bwd(eps, res, dy):
     mg = jnp.mean(g, axis=-1, keepdims=True)
     mgx = jnp.mean(g * xhat, axis=-1, keepdims=True)
     dx = (rs * (g - mg - xhat * mgx)).astype(x.dtype)
-    red = tuple(range(x.ndim - 1))
-    dscale = jnp.sum(dyf * xhat, axis=red).astype(scale.dtype)
-    dbias = jnp.sum(dyf, axis=red).astype(bias.dtype)
+    dscale = _reduce_to_shape(dyf * xhat, scale.shape).astype(scale.dtype)
+    dbias = _reduce_to_shape(dyf, bias.shape).astype(bias.dtype)
     return dx, dscale, dbias
 
 

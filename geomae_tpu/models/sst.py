@@ -207,6 +207,194 @@ class BasicShiftBlock(nn.Module):
         return x
 
 
+# ---------------------------------------------------------------------------
+# grouped variants: G independent branches batched through ONE stack
+# ---------------------------------------------------------------------------
+#
+# The GeoMAE decoder runs TWO parameter-independent SST stacks over the
+# SAME tokens (reference backbone :236-303).  Running them as separate
+# stacks doubles every kernel launch; here the branch axis rides the
+# batch ([G*B, V, C]) so attention/permutes/LN see one double-size call,
+# and only the projections carry per-branch parameters (einsum with a
+# leading group axis).
+
+
+class GroupedDense(nn.Module):
+    """Per-branch Dense over ``x`` [G*B, V, Cin] with kernel [G, Cin, F]."""
+
+    groups: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        GB, V, C = x.shape
+        G = self.groups
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (G, C, self.features))
+        b = self.param("bias", nn.initializers.zeros, (G, self.features))
+        xg = x.reshape(G, GB // G, V, C)
+        y = jnp.einsum("gbvc,gcf->gbvf", xg, k.astype(self.dtype),
+                       optimize=True) + b.astype(self.dtype)[:, None, None]
+        return y.reshape(GB, V, self.features)
+
+
+class GroupedLayerNorm(nn.Module):
+    """Per-branch LayerNorm over [G*B, V, C] (scale/bias [G, C])."""
+
+    groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .norm import fast_layer_norm
+
+        GB, V, C = x.shape
+        G = self.groups
+        scale = self.param("scale", nn.initializers.ones, (G, C))
+        bias = self.param("bias", nn.initializers.zeros, (G, C))
+        y = fast_layer_norm(x.reshape(G, GB // G, V, C),
+                            scale[:, None, None], bias[:, None, None],
+                            self.epsilon)
+        return y.reshape(GB, V, C)
+
+
+class GroupedWindowMHA(nn.Module):
+    """WindowMHA with per-branch projections; attention itself is
+    parameter-free, so the fused kernel sees one [G*B] batch."""
+
+    groups: int
+    d_model: int
+    nhead: int
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
+        GB, V, C = x_s.shape
+        H = self.nhead
+        D = C // H
+        G = self.groups
+        pos = layer_data["pos_sorted"].astype(x_s.dtype)
+        qk_in = x_s + pos
+        dense = lambda name: GroupedDense(G, C, self.dtype, name=name)
+        q = dense("q_proj")(qk_in).reshape(GB, V, H, D)
+        k = dense("k_proj")(qk_in).reshape(GB, V, H, D)
+        v = dense("v_proj")(x_s).reshape(GB, V, H, D)
+        fused = _select_attention(self.attention_impl)
+        if fused is not None and (C % 128 != 0 or V % 128 != 0):
+            fused = None
+        if fused is not None:
+            tile = 256 if V % 256 == 0 else 128
+            out = fused(q, k, v, layer_data["win_id"],
+                        layer_data["key_valid_sorted"], tile)
+        else:
+            out = band_attention(q, k, v, layer_data["win_id"],
+                                 key_valid=layer_data["key_valid_sorted"])
+        return dense("out_proj")(out.reshape(GB, V, C))
+
+
+class GroupedEncoderLayer(nn.Module):
+    cfg: SSTConfig
+    groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
+        c = self.cfg
+        G = self.groups
+        a = GroupedWindowMHA(G, c.d_model, c.nhead, self.dtype,
+                             c.attention_impl, name="win_attn")(x, layer_data)
+        x = GroupedLayerNorm(G, epsilon=1e-5, name="norm1")(x + a)
+        act = ((lambda t: nn.gelu(t, approximate=False))
+               if c.activation == "gelu" else nn.relu)
+        h = GroupedDense(G, c.dim_feedforward, self.dtype, name="linear1")(x)
+        h = GroupedDense(G, c.d_model, self.dtype, name="linear2")(act(h))
+        return GroupedLayerNorm(G, epsilon=1e-5, name="norm2")(x + h)
+
+
+class GroupedBasicShiftBlock(nn.Module):
+    cfg: SSTConfig
+    groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        layers = shift_datas["layers"]
+        n = len(layers)
+        for i in range(2):
+            cross = shift_datas["cross"][i]
+            if cross is not None:
+                x = _permute(x, cross[0], cross[1])
+            x = GroupedEncoderLayer(self.cfg, self.groups, self.dtype,
+                                    name=f"encoder_{i}")(x, layers[i % n])
+        return x
+
+
+class _GroupedScanBody(nn.Module):
+    cfg: SSTConfig
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, shift_datas):
+        x = GroupedBasicShiftBlock(self.cfg, self.groups, self.dtype,
+                                   name="block")(x, shift_datas)
+        return x, None
+
+
+def tile_shift_data(shift_datas, groups: int):
+    """Tile per-batch shift data along the batch axis for a grouped stack
+    (every branch shares the same window layout)."""
+    def tile(a):
+        return jnp.concatenate([a] * groups, axis=0)
+
+    return dict(
+        layers=[{k: tile(v) for k, v in lay.items()}
+                for lay in shift_datas["layers"]],
+        entry=tuple(tile(a) for a in shift_datas["entry"]),
+        cross=[None if c is None else tuple(tile(a) for a in c)
+               for c in shift_datas["cross"]],
+    )
+
+
+class SSTStackPair(nn.Module):
+    """G parameter-independent SSTStacks over the same tokens, batched.
+
+    ``__call__(x, shift_datas)`` takes row-order tokens [B, V, C] and the
+    UNtiled shift data; returns [G, B, V, C] (branch-major)."""
+
+    cfg: SSTConfig
+    num_blocks: int
+    groups: int = 2
+    dtype: jnp.dtype = jnp.float32
+    remat: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shift_datas) -> jnp.ndarray:
+        B, V, C = x.shape
+        G = self.groups
+        if self.num_blocks == 0:
+            return jnp.broadcast_to(x[None], (G, B, V, C))
+        data = tile_shift_data(shift_datas, G)
+        xg = jnp.concatenate([x] * G, axis=0)
+        remat = self.cfg.remat_blocks if self.remat is None else self.remat
+        body = (nn.remat(_GroupedScanBody, prevent_cse=False) if remat
+                else _GroupedScanBody)
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=self.num_blocks,
+        )
+        ep, ei = data["entry"]
+        xg = _permute(xg, ep, ei)
+        xg, _ = scan(self.cfg, G, self.dtype, name="blocks")(xg, data)
+        xg = _permute(xg, ei, ep)
+        return xg.reshape(G, B, V, C)
+
+
 class _ScanBody(nn.Module):
     """Scan step: one BasicShiftBlock; carry = token features."""
 

@@ -80,6 +80,18 @@ def _rows_pad(num_segments, chunk):
 # ---------------------------------------------------------------------------
 
 
+def _split_hi(x):
+    """bf16-exact "hi" part of f32 ``x`` WITHOUT a dtype change: zero the
+    low 16 bits (sign+exp+7 mantissa survive = bf16 truncation).  A real
+    f32->bf16->f32 cast chain forces a (8,128)<->(16,128) tile relayout
+    per grid step in Mosaic (measured 12x kernel cost); the bitmask stays
+    in f32 layout and the MXU's own operand conversion then passes ``hi``
+    through exactly."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _route(E, x, split):
     """Route payload rows with the one-hot: ``W = E^T x`` (contract dim 0).
 
@@ -87,13 +99,13 @@ def _route(E, x, split):
     (measured on v5e: max rel err 0.72 on +-51 m payloads), and HIGHEST
     costs 22x (6-pass emulation of BOTH operands, though the one-hot is
     exact in bf16).  For true-f32 payloads we split hi/lo instead:
-    ``x = hi + lo`` with each part exact in bf16, two DEFAULT passes,
-    ~2^-16 relative error (measured 1e-5 vs f64 oracle) at ~2x cost."""
+    ``x = hi + lo`` with each part surviving the MXU's bf16 operand
+    truncation, two DEFAULT passes, ~2^-16 relative error."""
     dims = (((0,), (0,)), ((), ()))
     if not split:
         return jax.lax.dot_general(E, x, dims,
                                    preferred_element_type=jnp.float32)
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _split_hi(x)
     lo = x - hi
     return (jax.lax.dot_general(E, hi, dims,
                                 preferred_element_type=jnp.float32)
@@ -378,7 +390,7 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
     window = tbl[pl.ds(start, chunk), :]
     dims = (((1,), (0,)), ((), ()))
     if split:
-        hi = window.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = _split_hi(window)
         lo = window - hi
         out = (jax.lax.dot_general(E, hi, dims,
                                    preferred_element_type=jnp.float32)

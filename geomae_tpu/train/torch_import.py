@@ -120,6 +120,23 @@ def _resolve(path: Tuple[str, ...], sd, kind: str):
             return _linear(sd, f"{base}.linear", p[3])
         return sd[f"{base}.norm.{_BN_SUFFIX[p[3]]}"]
 
+    if p[0] == "decoders" and kind == "pretrain":
+        # grouped decoder pair (models/sst.SSTStackPair): leaf shape
+        # [n_blocks, 2, ...] with branch 0 = centroid, 1 = density
+        assert p[1] == "blocks" and p[2] == "block", p
+        j = int(p[3].split("_")[1])
+        rest = p[4:]
+        n = _stack_depth(sd, prefix, "decoder_centroid_blocks")
+        vals = []
+        for i in range(n):
+            pair = [_layer_leaf(
+                sd, f"{prefix}decoder_{br}_blocks.{i}.encoder_list.{j}",
+                rest) for br in ("centroid", "density")]
+            if pair[0] is None or pair[1] is None:
+                return None
+            vals.append(np.stack(pair))
+        return np.stack(vals) if n else None
+
     if p[0] in _STACKS and (kind == "pretrain" or p[0] == "encoder"):
         # flax path: (<stack>, 'blocks', 'block', 'encoder_<j>', ...) with
         # nn.scan-stacked leaves — stack the per-block reference tensors

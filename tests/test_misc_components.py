@@ -135,3 +135,54 @@ def test_fast_layer_norm_matches_autodiff():
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_sst_stack_pair_equals_two_stacks():
+    """SSTStackPair (branch axis on batch, grouped params) == running two
+    independent SSTStacks whose params are the per-branch slices."""
+    import jax.numpy as jnp
+
+    from geomae_tpu.config import SSTConfig, VoxelConfig
+    from geomae_tpu.models.sst import (SSTStack, SSTStackPair,
+                                       prepare_shift_data)
+    from geomae_tpu.ops.windows import make_layouts, positional_embedding, \
+        window_ids
+
+    rng = np.random.default_rng(0)
+    sst = SSTConfig(d_model=32, nhead=4, dim_feedforward=64,
+                    attention_impl="einsum")
+    voxel = VoxelConfig(point_cloud_range=(-5.12, -5.12, -5.0,
+                                           5.12, 5.12, 3.0))
+    B, V, C = 2, 128, 32
+    ny, nx = voxel.grid_size
+    keys = np.stack([rng.choice(ny * nx, V, replace=False)
+                     for _ in range(B)])
+    coords = jnp.asarray(np.stack([keys // nx, keys % nx], -1)
+                         .astype(np.int32))
+    valid = jnp.asarray(np.ones((B, V), bool))
+    lays = make_layouts(coords, valid, sst, voxel)
+    pos = [positional_embedding(
+        jax.vmap(lambda c, m, ss=s: window_ids(c, m, ss, sst, voxel)[1])(
+            coords, valid), sst) for s in sst.shifts]
+    data = prepare_shift_data(lays, pos, valid)
+    x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+
+    pair = SSTStackPair(sst, num_blocks=2, groups=2)
+    vars_ = pair.init(jax.random.PRNGKey(1), x, data)
+    out = pair.apply(vars_, x, data)          # [2, B, V, C]
+
+    # slice branch g out of every grouped leaf -> plain-stack params
+    def slice_branch(tree, g):
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(tree)
+        out_t = {}
+        for path, leaf in flat.items():
+            out_t[path] = leaf[:, g]          # [n_blocks, G, ...] -> [n, ...]
+        return tu.unflatten_dict(out_t)
+
+    single = SSTStack(sst, num_blocks=2)
+    for g in range(2):
+        p = slice_branch(vars_["params"], g)
+        ref = single.apply({"params": p}, x, data)
+        np.testing.assert_allclose(np.asarray(out[g]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

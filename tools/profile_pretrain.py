@@ -67,7 +67,7 @@ def main():
     bench("targets", lambda i: compute_targets_batch(
         scene._replace(points=scene.points + i * eps), cfg))
     keep = sample_mask(jax.random.PRNGKey(0), scene.table.valid, 0.7)
-    state, _ = init_state(cfg, B, jax.random.PRNGKey(0))
+    state, tx = init_state(cfg, B, jax.random.PRNGKey(0))
     model = GeoMAE(cfg)
     vars_ = {"params": state.params, "batch_stats": state.batch_stats}
     bench("model fwd (eval)", lambda i: model.apply(
@@ -83,6 +83,22 @@ def main():
 
     bench("full fwd+targets", lambda i: lf(state.params, i))
     bench("grad", lambda i: jax.grad(lf)(state.params, i), n=3)
+
+    # full train step (no donation so the same state can repeat) and the
+    # optimizer update alone — pins the step-minus-grad gap
+    from geomae_tpu.train.pretrain import make_train_step
+    step_fn = make_train_step(cfg, tx)
+    key = jax.random.PRNGKey(2)
+    bench("full train step", lambda i: step_fn(
+        state, dict(points=pts + i * eps, point_valid=pv), key)[1], n=3)
+
+    def opt_only(i):
+        g = jax.tree_util.tree_map(lambda p: p * (1e-6 * i + 1e-6),
+                                   state.params)
+        upd, _ = tx.update(g, state.opt_state, state.params)
+        return upd
+
+    bench("optimizer update", opt_only)
 
     # stage bisection: vary block counts, measure eval fwd
     from geomae_tpu.config import MAEConfig
