@@ -80,41 +80,29 @@ def _rows_pad(num_segments, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _split_hi(x):
-    """bf16-exact "hi" part of f32 ``x`` WITHOUT a dtype change: zero the
-    low 16 bits (sign+exp+7 mantissa survive = bf16 truncation).  A real
-    f32->bf16->f32 cast chain forces a (8,128)<->(16,128) tile relayout
-    per grid step in Mosaic (measured 12x kernel cost); the bitmask stays
-    in f32 layout and the MXU's own operand conversion then passes ``hi``
-    through exactly."""
+def split_hi_lo(x):
+    """(hi, lo) f32 decomposition with both parts EXACT under the MXU's
+    bf16 operand truncation: hi zeroes the low 16 mantissa bits (sign +
+    exp + 7 mantissa = a bf16-representable f32), lo = x - hi.
+
+    Computed in XLA OUTSIDE the kernels: in-kernel bitwise/cast chains
+    measured ~36 us/grid-step (scalarized bit-ops / (8,128)<->(16,128)
+    relayouts in Mosaic — 23x total kernel cost).  Riding the split in as
+    stacked channels is free when the channel tile was already padding
+    (C <= 64 -> same [T, 128] lane tile, same matmul)."""
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    return jax.lax.bitcast_convert_type(
-        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi, x - hi
 
 
-def _route(E, x, split):
-    """Route payload rows with the one-hot: ``W = E^T x`` (contract dim 0).
-
-    Mosaic's DEFAULT matmul precision truncates f32 operands to bf16
-    (measured on v5e: max rel err 0.72 on +-51 m payloads), and HIGHEST
-    costs 22x (6-pass emulation of BOTH operands, though the one-hot is
-    exact in bf16).  For true-f32 payloads we split hi/lo instead:
-    ``x = hi + lo`` with each part surviving the MXU's bf16 operand
-    truncation, two DEFAULT passes, ~2^-16 relative error."""
-    dims = (((0,), (0,)), ((), ()))
-    if not split:
-        return jax.lax.dot_general(E, x, dims,
-                                   preferred_element_type=jnp.float32)
-    hi = _split_hi(x)
-    lo = x - hi
-    return (jax.lax.dot_general(E, hi, dims,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(E, lo, dims,
-                                  preferred_element_type=jnp.float32))
+def _route(E, x):
+    return jax.lax.dot_general(E, x, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
-                   chunk, is_max, split):
+                   chunk, is_max):
     b = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
@@ -152,7 +140,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
         # row is forced to be an end anyway
         is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) | (pos == chunk - 1)
         E = ((rel == j) & is_end).astype(jnp.float32)     # [T, out]
-        W = _route(E, x, split)
+        W = _route(E, x)
         has_end = jax.lax.dot_general(
             E, jnp.ones((chunk, 1), jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(chunk, 1) > 0.5
@@ -161,7 +149,7 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
             acc[pl.ds(start, chunk), :], W)
     else:
         E = (rel == j).astype(jnp.float32)                # [T, out]
-        W = _route(E, x, split)
+        W = _route(E, x)
         acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
     # one table write per batch row (the accumulator is VMEM-resident
@@ -176,7 +164,20 @@ def _reduce_kernel(meta_ref, x_ref, seg_ref, out_hbm, acc, sem, *,
 def _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact=True):
     B, P, C = x.shape
     assert P % chunk == 0, (P, chunk)
-    split = exact and jnp.dtype(x.dtype) == jnp.float32
+    # exact f32 sums: stack (hi, lo) on channels BEFORE the kernel — the
+    # routing matmul selects rows linearly, so summing the two output
+    # halves reconstructs the exact sum; free while 2C stays within the
+    # already-padded 128-lane tile.  Max is selection, not linear — f32
+    # max payloads keep bf16-level routing precision (all production max
+    # payloads are bf16-born features).
+    # C <= 64 keeps the stacked channels inside the one padded 128-lane
+    # tile (wider payloads would double the VMEM accumulator); all exact
+    # f32 payloads in production are <= 4 channels
+    split = (exact and not is_max and C <= 64
+             and jnp.dtype(x.dtype) == jnp.float32)
+    if split:
+        hi, lo = split_hi_lo(x)
+        x = jnp.concatenate([hi, lo], axis=-1)
     x, Cp = _pad_channels(x, is_max)
     seg_f = seg_ids.astype(jnp.float32)
     nxt = jnp.concatenate(
@@ -186,7 +187,7 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact=True):
     rows = _rows_pad(num_segments, chunk)
 
     kern = functools.partial(_reduce_kernel, chunk=chunk,
-                             is_max=bool(is_max), split=split)
+                             is_max=bool(is_max))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
@@ -208,6 +209,8 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact=True):
         out_shape=jax.ShapeDtypeStruct((B, rows, Cp), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, x, seg2)
+    if split:
+        return out[:, :num_segments, :C] + out[:, :num_segments, C:2 * C]
     return out[:, :num_segments, :C]
 
 
@@ -271,6 +274,10 @@ segment_reduce_pallas.defvjp(_reduce_fwd, _reduce_bwd)
 
 def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
                  chunk, cv, group_slots, split):
+    """``split``: vals carries pre-split (hi, lo) channel pairs
+    ([T, 2*cv]); the product is routed in two dots and summed — exact
+    f32 at 2x matmul cost, zero extra grid steps, no in-kernel bit ops
+    (those scalarize, see ``split_hi_lo``)."""
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
@@ -291,17 +298,22 @@ def _slot_kernel(meta_ref, vals_ref, seg_ref, out_hbm, acc, sem, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 1)
     s_of_col = (col // cv).astype(jnp.float32) + g * group_slots
     oh = (slot == s_of_col).astype(jnp.float32)   # [T, lanes]
-    vt = jnp.zeros((chunk, lanes), jnp.float32)
-    for c in range(cv):
-        vt = vt + jnp.where(col % cv == c, vals[:, c:c + 1], 0.0)
-    prod = oh * vt
+
+    def vt_of(off):
+        vt = jnp.zeros((chunk, lanes), jnp.float32)
+        for c in range(cv):
+            vt = vt + jnp.where(col % cv == c,
+                                vals[:, off + c:off + c + 1], 0.0)
+        return vt
 
     # natural [T, out_row] one-hot (transposed construction relayouts —
     # see _reduce_kernel) contracted on dim 0
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
         .astype(jnp.float32)
     E = (rel == j).astype(jnp.float32)
-    W = _route(E, prod, split)
+    W = _route(E, oh * vt_of(0))
+    if split:
+        W = W + _route(E, oh * vt_of(cv))
     start = meta_ref[b, i]
     acc[pl.ds(start, chunk), :] = acc[pl.ds(start, chunk), :] + W
 
@@ -327,6 +339,11 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
     group_slots = max(128 // cv, 1)
     n_groups = (num_slots + group_slots - 1) // group_slots
     assert num_slots % min(group_slots, num_slots) == 0, (num_slots, cv)
+    split = jnp.dtype(vals.dtype) == jnp.float32
+    if split:
+        hi, lo = split_hi_lo(vals)
+        vals = jnp.concatenate([hi, lo], axis=-1)      # [B, P, 2*cv]
+    cv_in = vals.shape[-1]
     meta = _seg0_meta(seg_ids, num_segments, chunk)
     seg2 = jnp.stack([seg_ids.astype(jnp.float32),
                       slot.astype(jnp.float32)], axis=-1)
@@ -334,13 +351,12 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
     lanes = group_slots * cv
 
     kern = functools.partial(_slot_kernel, chunk=chunk, cv=cv,
-                             group_slots=group_slots,
-                             split=jnp.dtype(vals.dtype) == jnp.float32)
+                             group_slots=group_slots, split=split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_groups, P // chunk),
         in_specs=[
-            pl.BlockSpec((1, chunk, cv), lambda b, g, i, *_: (b, i, 0),
+            pl.BlockSpec((1, chunk, cv_in), lambda b, g, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -368,7 +384,7 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 
 
 def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
-                   chunk, split):
+                   chunk):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -388,18 +404,9 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
     E = ((seg - seg0) == j).astype(jnp.float32)   # [T, window], natural
     start = meta_ref[b, i]
     window = tbl[pl.ds(start, chunk), :]
-    dims = (((1,), (0,)), ((), ()))
-    if split:
-        hi = _split_hi(window)
-        lo = window - hi
-        out = (jax.lax.dot_general(E, hi, dims,
-                                   preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(E, lo, dims,
-                                     preferred_element_type=jnp.float32))
-    else:
-        out = jax.lax.dot_general(E, window, dims,
-                                  preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        E, window, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _gather_forward(table, seg_ids, chunk, exact=True):
@@ -407,8 +414,14 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
     P = seg_ids.shape[1]
     assert P % chunk == 0, (P, chunk)
     dtype = table.dtype
-    split = exact and jnp.dtype(dtype) == jnp.float32
-    table, Cp = _pad_channels(table.astype(jnp.float32), False)
+    # exact f32 gathers ride the same channel-stacked (hi, lo) trick as
+    # the sum (free while 2C fits the padded lane tile)
+    split = exact and C <= 64 and jnp.dtype(dtype) == jnp.float32
+    table = table.astype(jnp.float32)
+    if split:
+        hi, lo = split_hi_lo(table)
+        table = jnp.concatenate([hi, lo], axis=-1)
+    table, Cp = _pad_channels(table, False)
     # one-hot windows reach [start, start + chunk): pad the row axis
     rows = _rows_pad(S, chunk)
     table = jnp.pad(table, ((0, 0), (0, rows - S), (0, 0)))
@@ -416,7 +429,7 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
     seg2 = jnp.stack([seg_f, seg_f], axis=-1)   # 2 lanes: proven tiling
     meta = _seg0_meta(seg_ids, S, chunk)
 
-    kern = functools.partial(_gather_kernel, chunk=chunk, split=split)
+    kern = functools.partial(_gather_kernel, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
@@ -437,6 +450,8 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, P, Cp), jnp.float32),
     )(meta, seg2, table)
+    if split:
+        return (out[..., :C] + out[..., C:2 * C]).astype(dtype)
     return out[..., :C].astype(dtype)
 
 
