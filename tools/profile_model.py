@@ -94,6 +94,19 @@ def main():
         bench(f"2-block stack 20k ({impl})", lambda i, _s=stack, _v=svars:
               _s.apply(_v, x + (i * eps).astype(x.dtype), data))
 
+    # fwd+bwd of the same stack (params + input grads) — the SST long tail
+    sst_cfg = replace(cfg.sst, attention_impl="pallas")
+    stack = SSTStack(sst_cfg, 2, jnp.bfloat16, remat=False)
+    svars = jax.jit(lambda k: stack.init(k, x, data))(jax.random.PRNGKey(0))
+
+    def stack_loss(p, xin):
+        return jnp.sum(stack.apply({"params": p}, xin, data)
+                       .astype(jnp.float32))
+
+    bench("2-block stack 20k grad", lambda i: jax.grad(
+        stack_loss, argnums=(0, 1))(
+        svars["params"], x + (i * eps).astype(x.dtype)), n=3)
+
 
 if __name__ == "__main__":
     main()
