@@ -54,6 +54,13 @@ def forward(cfg: PretrainConfig, variables, batch, rng, train: bool):
     else:
         scene = build_scene_batch(batch["points"], batch["point_valid"],
                                   cfg.voxel, cfg.caps.max_voxels)
+        # materialize the sorted scene ONCE: without the barrier XLA fuses
+        # the canonical sort's row gathers into each downstream consumer
+        # (targets, VFE, loss), re-running them — measured 113 -> 91 ms on
+        # the scene+targets slice alone (v5e)
+        leaves, treedef = jax.tree_util.tree_flatten(scene)
+        scene = jax.tree_util.tree_unflatten(
+            treedef, jax.lax.optimization_barrier(tuple(leaves)))
     targets = jax.tree_util.tree_map(
         jax.lax.stop_gradient, compute_targets_batch(scene, cfg))
     keep = sample_mask(rng, scene.table.valid, cfg.mae.random_mask_ratio)

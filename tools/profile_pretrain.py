@@ -85,12 +85,16 @@ def main():
     bench("grad", lambda i: jax.grad(lf)(state.params, i), n=3)
 
     # full train step (no donation so the same state can repeat) and the
-    # optimizer update alone — pins the step-minus-grad gap
+    # optimizer update alone — pins the step-minus-grad gap.  The WHOLE
+    # output tuple (incl. new_state) must feed the fetched scalar: keeping
+    # only the losses lets XLA dead-code-eliminate the backward+optimizer
+    # (measured: 217 ms "step" vs 384 ms grad — the DCE'd probe just
+    # re-times the forward).
     from geomae_tpu.train.pretrain import make_train_step
     step_fn = make_train_step(cfg, tx)
     key = jax.random.PRNGKey(2)
     bench("full train step", lambda i: step_fn(
-        state, dict(points=pts + i * eps, point_valid=pv), key)[1], n=3)
+        state, dict(points=pts + i * eps, point_valid=pv), key), n=3)
 
     def opt_only(i):
         g = jax.tree_util.tree_map(lambda p: p * (1e-6 * i + 1e-6),
