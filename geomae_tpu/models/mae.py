@@ -16,9 +16,10 @@ Key re-designs (semantics preserved, layout TPU-first):
   the low sums.  The loss is then pure elementwise arithmetic over the
   dense tables — its backward is elementwise (no gathers/sorts in the
   differentiated graph).
-* The 3x3-neighborhood med-centroid gather for normals/curvature uses
-  binary-searched canonical keys (``ops/voxelize.neighbor_rows``) instead
-  of spconv's ``get_indice_pairs_implicit_gemm`` (``..._ssl.py:192-207``);
+* The 3x3-neighborhood med-centroid aggregation for normals/curvature
+  runs as a dense-BEV-grid stencil (scatter moment rows once, 9 shifted
+  slices, gather back) instead of spconv's
+  ``get_indice_pairs_implicit_gemm`` (``..._ssl.py:192-207``);
   per-voxel ``torch.svd`` becomes a closed-form symmetric 3x3 eigensolver
   (``ops/eig3``).
 * Masked rows keep their table position: the decoder input is
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
-from ..ops.voxelize import Scene, neighbor_rows
+from ..ops.voxelize import Scene
 from ..ops.windows import make_layouts, positional_embedding, window_ids
 from .sst import SSTStack, SSTStackPair, prepare_shift_data
 from .vfe import DynamicScatterVFE
@@ -190,10 +191,13 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     # world coordinates cancel catastrophically in f32 for far pillars),
     # then translated to the receiving pillar u by d_n = t_n - t_u:
     #   cov_u = sum_n [S2_n + S1_n d^T + d S1_n^T + c_n d d^T]
-    # The neighbor gather moves 16 channels per row instead of the
-    # (48 + 16)-channel centroid/occupancy tables (row gathers were
-    # ~60 ms of the targets stage on v5e).
-    nbr = neighbor_rows(table.coords, table.valid, ny, nx, v_cap)   # [V, 9]
+    # Neighbor access goes through a dense BEV grid: one sorted-unique
+    # scatter of the 16-ch moment rows, a 9-tap shifted-slice stencil on
+    # the grid, and one row gather back.  The previous per-pillar
+    # ``neighbor_rows`` binary search (searchsorted method='sort' over
+    # 9V queries) plus 9-way row gather measured ~35 ms of the targets
+    # stage on v5e; the dense stencil runs ~2x faster (the spconv
+    # ``get_indice_pairs_implicit_gemm`` replacement, ``..._ssl.py:192-207``).
     of = occ_med.astype(jnp.float32)
     t = top_raw
     mt = med_table - t[:, None, :]                 # centered, own frame
@@ -202,18 +206,30 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     S2 = jnp.einsum("vs,vsi,vsj->vij", of, mt,
                     mt).reshape(v_cap, 9)                     # [V, 9]
     feats = jnp.concatenate([cm[:, None], S1, S2, t], axis=-1)  # [V, 16]
-    agg = scatter.gather_rows(feats, nbr.reshape(-1)).reshape(
-        v_cap, 9, 16)                                         # misses -> 0
-    Cn = agg[:, :, 0]                                         # [V, 9]
-    S1n = agg[:, :, 1:4]                                      # [V, 9, 3]
-    S2n = agg[:, :, 4:13].reshape(v_cap, 9, 3, 3)
-    # miss rows have Cn = S1n = S2n = 0 and tn = 0, so every term of the
-    # translation vanishes regardless of d
-    d = agg[:, :, 13:16] - t[:, None, :]                      # [V, 9, 3]
-    cov = (S2n + S1n[..., :, None] * d[..., None, :]
-           + d[..., :, None] * S1n[..., None, :]
-           + Cn[..., None, None] * d[..., :, None] * d[..., None, :]
-           ).sum(1)
+    key = jnp.where(table.valid,
+                    table.coords[:, 0] * nx + table.coords[:, 1],
+                    ny * nx)                                  # sentinel row
+    dense = jnp.zeros((ny * nx + 1, 16), jnp.float32).at[key].set(
+        feats, mode="drop", unique_indices=True, indices_are_sorted=True)
+    grid = dense[:-1].reshape(ny, nx, 16)
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
+    tg = grid[..., 13:16]                          # receiving cell's t
+    covg = jnp.zeros((ny, nx, 3, 3), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            nb = jax.lax.slice(gp, (dy, dx, 0), (dy + ny, dx + nx, 16))
+            Cn = nb[..., 0]
+            S1n = nb[..., 1:4]
+            S2n = nb[..., 4:13].reshape(ny, nx, 3, 3)
+            # empty neighbor cells have Cn = S1n = S2n = 0 and tn = 0, so
+            # every term vanishes regardless of d
+            d = nb[..., 13:16] - tg
+            covg = (covg + S2n
+                    + S1n[..., :, None] * d[..., None, :]
+                    + d[..., :, None] * S1n[..., None, :]
+                    + Cn[..., None, None] * d[..., :, None] * d[..., None, :])
+    cov = scatter.gather_rows(covg.reshape(ny * nx, 9),
+                              key).reshape(v_cap, 3, 3)   # sentinel -> 0
     normal, curv = normal_and_curvature(cov)
 
     vmask = table.valid
