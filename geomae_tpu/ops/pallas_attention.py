@@ -337,7 +337,7 @@ def _dkv_kernel(nv_ref, k_ref, v_ref, aux_t_ref, q_hbm, do_hbm, qs_hbm,
             do_hbm.at[bb, pl.ds(ss, width), :], dobuf.at[sl],
             sems.at[sl, 1]).start()
         pltpu.make_async_copy(
-            qs_hbm.at[bb, pl.ds(ss, width), :], qsbuf.at[sl],
+            qs_hbm.at[pl.ds(bb, 1), :, pl.ds(ss, width)], qsbuf.at[sl],
             sems.at[sl, 2]).start()
 
     @pl.when((l == 0) & cur_valid)
@@ -374,34 +374,40 @@ def _dkv_body(k_ref, v_ref, aux_t_ref, dk_ref, dv_ref, qbuf, dobuf, qsbuf,
 
     kt = k_ref[0]                                  # [tile, C] key tile
     vt = v_ref[0]
-    win_t = aux_t_ref[0, 0:1, :]                   # [1, tile] lane-major
-    kv_t = aux_t_ref[0, 1:2, :]                    # [1, tile]
-    winq = qsbuf[:, 3 * nheads:3 * nheads + 1]     # [width, 1] sublane
-    # pair mask (query i in band, key j in tile): win_i == win_j & kv_j
-    mask = (winq == win_t) & (kv_t > 0.5)          # [width, tile]
+    # TRANSPOSED score orientation: keys (tile) on SUBLANES, queries
+    # (band) on LANES.  The previous orientation ([width, tile] scores)
+    # made dv/dk contract over the sublane axis, which Mosaic lowers by
+    # transposing the [width, tile] f32 score matrix per head per grid
+    # step — 16 relayouts/step that made the dkv kernel ~2x the cost of
+    # dq.  Here every dot is a lane contraction or a standard A@B.
+    win_t = aux_t_ref[0, :, 0:1]                   # [tile, 1] sublane
+    kv_t = aux_t_ref[0, :, 1:2]                    # [tile, 1]
+    winq = qsbuf[0, 3 * nheads:3 * nheads + 1, :]  # [1, width] lane-major
+    # pair mask (key j in tile, query i in band): win_j == win_i & kv_j
+    mask = (win_t == winq) & (kv_t > 0.5)          # [tile, width]
     bias = jnp.where(mask, 0.0, _NEG)
 
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        m = qsbuf[:, h:h + 1]                              # [width, 1]
-        lrow = qsbuf[:, nheads + h:nheads + h + 1]
+        m = qsbuf[0, h:h + 1, :]                           # [1, width]
+        lrow = qsbuf[0, nheads + h:nheads + h + 1, :]
         inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
-        dvo = qsbuf[:, 2 * nheads + h:2 * nheads + h + 1]
-        # s_ij for queries i (band) x keys j (tile)
+        dvo = qsbuf[0, 2 * nheads + h:2 * nheads + h + 1, :]
+        # s_ji for keys j (tile) x queries i (band)
         s = jax.lax.dot_general(
-            qbuf[:, sl], kt[:, sl], (((1,), (1,)), ((), ())),
+            kt[:, sl], qbuf[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias
-        p = jnp.exp(s - m) * inv_l
+        p = jnp.exp(s - m) * inv_l                         # [tile, width]
         dv = jax.lax.dot_general(
-            p.astype(dobuf.dtype), dobuf[:, sl], (((0,), (0,)), ((), ())),
+            p.astype(dobuf.dtype), dobuf[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [tile, Dh]
         dp = jax.lax.dot_general(
-            dobuf[:, sl], vt[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [width, tile]
+            vt[:, sl], dobuf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tile, width]
         ds = p * (dp - dvo)
         dk = jax.lax.dot_general(
-            ds.astype(qbuf.dtype), qbuf[:, sl], (((0,), (0,)), ((), ())),
+            ds.astype(qbuf.dtype), qbuf[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # [tile, Dh]
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
@@ -461,16 +467,19 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
 
     # ---- dk/dv over key tiles ----------------------------------------------
     # query-side per-row data (3H softmax stats + the query window id)
-    # packed into ONE sublane-major [B, Vp, 128] band (manual DMAs need a
-    # 128-aligned lane dim) — each consumer reads its natural orientation,
-    # while the key tile's aux stays lane-major
+    # packed into ONE LANE-major [B, 32, Vp] f32 band: the transposed
+    # kernel reads each stat as a [1, width] lane vector, and the DMA
+    # moves 32 sublanes instead of a 128-lane padded row (4x less
+    # traffic).  The key tile's aux (win id, validity) rides sublane-major
+    # [B, V, 2] so the [tile, width] mask builds without relayouts.
     qp = jnp.pad(qf, ((0, 0), (pad, pad), (0, 0)))
     gp = jnp.pad(gf, ((0, 0), (pad, pad), (0, 0)))
-    winq_col = jnp.pad(win_f, ((0, 0), (pad, pad)),
-                       constant_values=_PAD_WIN)[:, :, None]
-    qs = jnp.concatenate([
-        jnp.pad(stats3, ((0, 0), (pad, pad), (0, 0))), winq_col], axis=-1)
-    qs = jnp.pad(qs, ((0, 0), (0, 0), (0, 128 - qs.shape[-1])))
+    st_t = jnp.pad(jnp.moveaxis(stats3, 1, 2), ((0, 0), (0, 0), (pad, pad)))
+    winq_row = jnp.pad(win_f, ((0, 0), (pad, pad)),
+                       constant_values=_PAD_WIN)[:, None, :]
+    qs = jnp.concatenate([st_t, winq_row], axis=1)         # [B, 3H+1, Vp]
+    qs = jnp.pad(qs, ((0, 0), (0, 32 - qs.shape[1]), (0, 0)))
+    aux_t = jnp.stack([win_f, key_valid.astype(jnp.float32)], axis=-1)
     dkv_kern = functools.partial(_dkv_kernel, tile=tile, width=width,
                                  nheads=H, head_dim=D)
     dkv_grid = pltpu.PrefetchScalarGridSpec(
@@ -481,7 +490,7 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda b, i, *_: (b, 0, i),
+            pl.BlockSpec((1, tile, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -497,7 +506,7 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             pltpu.VMEM((2, width, C), q.dtype),
             pltpu.VMEM((2, width, C), g.dtype if hasattr(g, "dtype")
                        else jnp.float32),
-            pltpu.VMEM((2, width, 128), jnp.float32),
+            pltpu.VMEM((2, 1, 32, width), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -509,8 +518,7 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
             jax.ShapeDtypeStruct((B, V, C), v.dtype),
         ),
         interpret=interpret,
-    )(nv, k.reshape(B, V, C), v.reshape(B, V, C),
-      aux[:, :, pad:pad + V], qp, gp, qs)
+    )(nv, k.reshape(B, V, C), v.reshape(B, V, C), aux_t, qp, gp, qs)
 
     shape = (B, V, H, D)
     return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape))
