@@ -116,7 +116,7 @@ class SSTConfig:
     normalize_pos: bool = False
     activation: str = "gelu"
     # "auto": Pallas fused kernel on TPU, einsum elsewhere
-    attention_impl: str = "auto"      # "auto" | "pallas" | "einsum"
+    attention_impl: str = "auto"      # "auto"|"bin"|"pallas"|"einsum"
     # rematerialize whole SST blocks in backward (torch checkpoint_blocks
     # analogue).  With the fused Pallas attention backward, activations are
     # small enough that remat=False trades ~1 forward of recompute for HBM.

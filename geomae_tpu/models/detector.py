@@ -44,7 +44,8 @@ class DynamicVoxelNet(nn.Module):
             ciw = jax.vmap(lambda c, m, ss=s: window_ids(
                 c, m, ss, cfg.sst, cfg.voxel)[1])(table.coords, table.valid)
             pos.append(positional_embedding(ciw, cfg.sst))
-        shift_data = prepare_shift_data(layouts, pos, table.valid)
+        shift_data = prepare_shift_data(layouts, pos, table.valid,
+                                        cfg.sst, cfg.voxel)
 
         x = feats.astype(dtype)
         x = SSTStack(cfg.sst, cfg.num_blocks, dtype, name="encoder")(

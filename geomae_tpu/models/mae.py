@@ -387,7 +387,8 @@ class GeoMAE(nn.Module):
             jax.vmap(lambda c, m, ss=s: window_ids(
                 c, m, ss, cfg.sst, cfg.voxel)[1])(vis_coords, vis_valid),
             cfg.sst) for s in cfg.sst.shifts]
-        enc_data = prepare_shift_data(enc_layouts, enc_pos, vis_valid)
+        enc_data = prepare_shift_data(enc_layouts, enc_pos, vis_valid,
+                                      cfg.sst, cfg.voxel)
         x = vis_feats.astype(dtype)
         x = SSTStack(cfg.sst, cfg.mae.encoder_blocks, dtype,
                      name="encoder")(x, enc_data)
@@ -414,7 +415,8 @@ class GeoMAE(nn.Module):
             ciw = jax.vmap(lambda c, m, ss=s: window_ids(
                 c, m, ss, cfg.sst, cfg.voxel)[1])(table.coords, table.valid)
             dec_pos.append(positional_embedding(ciw, cfg.sst))
-        dec_data = prepare_shift_data(dec_layouts, dec_pos, table.valid)
+        dec_data = prepare_shift_data(dec_layouts, dec_pos, table.valid,
+                                      cfg.sst, cfg.voxel)
 
         # the two parameter-independent decoder branches (reference
         # backbone :236-303) run as ONE grouped stack over a [2B] batch —

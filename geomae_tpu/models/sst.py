@@ -46,7 +46,9 @@ def _permute(x: jnp.ndarray, perm: jnp.ndarray,
 
 def prepare_shift_data(layouts: Sequence[WindowLayout],
                        pos_embeds: Sequence[jnp.ndarray],
-                       key_valid: jnp.ndarray):
+                       key_valid: jnp.ndarray,
+                       sst: SSTConfig | None = None,
+                       voxel=None):
     """Per-shift sorted tensors + COMPOSED inter-layer permutations.
 
     Tokens stay in window-sorted order BETWEEN layers: each block enters
@@ -67,11 +69,24 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     """
     layers = []
     for lay, pos in zip(layouts, pos_embeds):
-        layers.append(dict(
+        d = dict(
             win_id=lay.win_id,
             pos_sorted=_take(pos, lay.perm),
             key_valid_sorted=_take(key_valid, lay.perm),
-        ))
+        )
+        want_bins = (sst is not None and voxel is not None
+                     and (sst.attention_impl == "bin"
+                          or (sst.attention_impl == "auto"
+                              and _is_tpu_backend())))
+        if want_bins:
+            # bin-packed layout for ops.pallas_binattn (cut points only;
+            # the sorted order is shared with the band/einsum paths)
+            from ..ops.windows import bin_pack_batch
+            rel, bin_start, bin_len, n_bins = bin_pack_batch(
+                lay.win_id, sst, voxel)
+            d.update(rel=rel, bin_start=bin_start, bin_len=bin_len,
+                     n_bins=n_bins)
+        layers.append(d)
     n = len(layers)
     last = (2 - 1) % n            # order blocks start from (= s_{1%n})
     entry = (layouts[last].perm, layouts[last].inv_perm)
@@ -97,12 +112,19 @@ def _is_tpu_backend() -> bool:
         d, "device_kind", "")
 
 
-def _select_attention(impl: str):
+def _select_attention(impl: str, layer_data: dict | None = None):
+    """Pick the attention backend: "bin" (bin-packed kernels, default on
+    TPU when the layout carries bin data), "pallas" (band kernels), or
+    None (the einsum path)."""
     if impl == "einsum":
         return None
-    if impl == "pallas" or (impl == "auto" and _is_tpu_backend()):
+    has_bins = layer_data is not None and "rel" in layer_data
+    if (impl == "bin" or (impl == "auto" and _is_tpu_backend())) and has_bins:
+        from ..ops.pallas_binattn import bin_attention
+        return "bin", bin_attention
+    if impl in ("pallas", "bin") or (impl == "auto" and _is_tpu_backend()):
         from ..ops.pallas_attention import band_attention_pallas
-        return band_attention_pallas
+        return "band", band_attention_pallas
     return None
 
 
@@ -137,16 +159,21 @@ class WindowMHA(nn.Module):
         q = q.reshape(B, V, H, D)
         k = k.reshape(B, V, H, D)
         v = v.reshape(B, V, H, D)
-        fused = _select_attention(self.attention_impl)
-        # Mosaic tiling: needs 128-lane channel dim and whole tiles
-        if fused is not None and (C % 128 != 0 or V % 128 != 0):
+        fused = _select_attention(self.attention_impl, layer_data)
+        # Mosaic tiling: needs 128-lane channel dim (+ whole tiles: band)
+        if fused is not None and (C % 128 != 0 or
+                                  (fused[0] == "band" and V % 128 != 0)):
             fused = None
-        if fused is not None:
+        if fused is not None and fused[0] == "bin":
+            out = fused[1](q, k, v, layer_data["rel"],
+                           layer_data["bin_start"], layer_data["bin_len"],
+                           layer_data["n_bins"])
+        elif fused is not None:
             # tile 256 measured 2.5x faster than 128 on v5e (fewer grid
             # steps, larger matmuls/DMAs); 512 regresses (VPU-heavy tiles)
             tile = 256 if V % 256 == 0 else 128
-            out = fused(q, k, v, layer_data["win_id"],
-                        layer_data["key_valid_sorted"], tile)
+            out = fused[1](q, k, v, layer_data["win_id"],
+                           layer_data["key_valid_sorted"], tile)
         else:
             out = band_attention(q, k, v, layer_data["win_id"],
                                  key_valid=layer_data["key_valid_sorted"])
@@ -281,13 +308,18 @@ class GroupedWindowMHA(nn.Module):
         q = dense("q_proj")(qk_in).reshape(GB, V, H, D)
         k = dense("k_proj")(qk_in).reshape(GB, V, H, D)
         v = dense("v_proj")(x_s).reshape(GB, V, H, D)
-        fused = _select_attention(self.attention_impl)
-        if fused is not None and (C % 128 != 0 or V % 128 != 0):
+        fused = _select_attention(self.attention_impl, layer_data)
+        if fused is not None and (C % 128 != 0 or
+                                  (fused[0] == "band" and V % 128 != 0)):
             fused = None
-        if fused is not None:
+        if fused is not None and fused[0] == "bin":
+            out = fused[1](q, k, v, layer_data["rel"],
+                           layer_data["bin_start"], layer_data["bin_len"],
+                           layer_data["n_bins"])
+        elif fused is not None:
             tile = 256 if V % 256 == 0 else 128
-            out = fused(q, k, v, layer_data["win_id"],
-                        layer_data["key_valid_sorted"], tile)
+            out = fused[1](q, k, v, layer_data["win_id"],
+                           layer_data["key_valid_sorted"], tile)
         else:
             out = band_attention(q, k, v, layer_data["win_id"],
                                  key_valid=layer_data["key_valid_sorted"])

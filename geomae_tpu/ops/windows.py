@@ -96,6 +96,101 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
     return tuple(outs)
 
 
+# ---------------------------------------------------------------------------
+# bin packing: cut the window-sorted stream into <=BIN_TILE-row bins
+# ---------------------------------------------------------------------------
+
+BIN_TILE = 256
+
+
+def win_grid_cap(sst: SSTConfig, voxel: VoxelConfig) -> int:
+    """Static upper bound on the number of windows in one sample/shift."""
+    win_x, win_y = sst.window_shape
+    ny, nx = voxel.grid_size
+    return (math.ceil(nx / win_x) + 1) * (math.ceil(ny / win_y) + 1)
+
+
+def bin_cap(v_cap: int, sst: SSTConfig, tile: int = BIN_TILE) -> int:
+    """Static bin-count bound: next-fit opens a new bin only when the
+    previous holds > tile - max_window tokens."""
+    win_x, win_y = sst.window_shape
+    min_fill = tile - win_x * win_y + 1
+    return v_cap // max(min_fill, 1) + 2
+
+
+def bin_pack(win_sorted: jnp.ndarray, w_cap: int, nb_cap: int,
+             tile: int = BIN_TILE):
+    """Next-fit pack whole windows into ``tile``-row bins (one sample).
+
+    The stream is already window-sorted (``make_layout``); packing only
+    chooses CUT POINTS between windows — no reordering, no padding rows.
+    Every window lies entirely inside exactly one bin (window size
+    <= win_x*win_y <= tile), so per-bin attention is exact.
+
+    Args:
+      win_sorted: int32 [V] ascending window ids, INT32_MAX suffix.
+      w_cap / nb_cap: static caps (``win_grid_cap`` / ``bin_cap``).
+    Returns:
+      rel:      int32 [V, 2] — per row, its window's [start, end) ROW range
+                relative to the owning bin's start (0 <= start < end <=
+                tile for valid rows; [0, 0) for invalid rows).
+      bin_start: int32 [nb_cap] — stream row of each bin's first window;
+                sentinel V beyond ``n_bins``.
+      bin_len:  int32 [nb_cap] — rows OWNED by each bin (<= tile); 0
+                beyond ``n_bins``.  Kernels use it to exclude spillover
+                rows (whose rel is owner-bin-relative) from key roles.
+      n_bins:   int32 [].
+    """
+    from . import scatter
+
+    V = win_sorted.shape[0]
+    valid = win_sorted != INT32_MAX
+    first = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), win_sorted[1:] != win_sorted[:-1]])
+    widx = jnp.cumsum(first.astype(jnp.int32)) - 1
+    widx = jnp.where(valid, widx, w_cap)
+    sizes = scatter.segment_sum(
+        valid.astype(jnp.float32)[:, None], widx, w_cap,
+        sorted_ids=True).astype(jnp.int32)[:, 0]            # [w_cap]
+
+    # next-fit over windows: the only sequential step, O(w_cap) scalar ops
+    def step(fill, s):
+        nb = (fill + s > tile) & (s > 0)
+        fill2 = jnp.where(nb, s, fill + s)
+        return fill2, nb
+
+    _, newbin = jax.lax.scan(step, jnp.int32(tile + 1), sizes, unroll=16)
+    binw = jnp.cumsum(newbin.astype(jnp.int32)) - 1          # bin per window
+    startw = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
+    ohb = (binw[:, None] == jnp.arange(nb_cap)[None, :]) & newbin[:, None]
+    bin_start = jnp.sum(jnp.where(ohb, startw[:, None], 0),
+                        axis=0).astype(jnp.int32)
+    n_bins = jnp.sum(newbin).astype(jnp.int32)
+    idx = jnp.arange(nb_cap)
+    bin_start = jnp.where(idx < n_bins, bin_start, V)
+    nv = jnp.sum(valid).astype(jnp.int32)
+    nxt = jnp.where(idx < n_bins - 1,
+                    jnp.concatenate([bin_start[1:], bin_start[-1:]]), nv)
+    bin_len = jnp.where(idx < n_bins, nxt - bin_start, 0).astype(jnp.int32)
+
+    relw = startw - jnp.take(bin_start, jnp.clip(binw, 0, nb_cap - 1))
+    tbl = jnp.stack([relw, relw + sizes], axis=-1)           # [w_cap, 2]
+    tbl = jnp.concatenate([tbl, jnp.zeros((1, 2), jnp.int32)], axis=0)
+    rel = jnp.take(tbl, jnp.minimum(widx, w_cap), axis=0)    # [V, 2]
+    return rel, bin_start, bin_len, n_bins
+
+
+def bin_pack_batch(win_sorted: jnp.ndarray, sst: SSTConfig,
+                   voxel: VoxelConfig, tile: int = BIN_TILE):
+    """Batched :func:`bin_pack`
+    ([B, V] -> rel [B, V, 2], starts, lens, counts)."""
+    V = win_sorted.shape[-1]
+    w_cap = min(win_grid_cap(sst, voxel), V)
+    nb_cap = bin_cap(V, sst, tile)
+    return jax.vmap(lambda w: bin_pack(w, w_cap, nb_cap, tile))(win_sorted)
+
+
 def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,
                          dtype=jnp.float32) -> jnp.ndarray:
     """Sinusoidal in-window positional embedding.
