@@ -67,26 +67,20 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     Returns dict(layers=[per-shift dicts], entry=(perm, inv),
     cross=[per-layer (perm, inv) or None]).
     """
+    # "bin" is opt-in: measured on v5e the padded bin layout still trails
+    # the band path on the full step (11.1 vs 12.4 samples/s) — see
+    # ARCHITECTURE.md perf ledger; "auto" therefore resolves to band.
+    want_bins = (sst is not None and voxel is not None
+                 and sst.attention_impl == "bin")
+    if want_bins:
+        return _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel)
     layers = []
     for lay, pos in zip(layouts, pos_embeds):
-        d = dict(
+        layers.append(dict(
             win_id=lay.win_id,
             pos_sorted=_take(pos, lay.perm),
             key_valid_sorted=_take(key_valid, lay.perm),
-        )
-        want_bins = (sst is not None and voxel is not None
-                     and (sst.attention_impl == "bin"
-                          or (sst.attention_impl == "auto"
-                              and _is_tpu_backend())))
-        if want_bins:
-            # bin-packed layout for ops.pallas_binattn (cut points only;
-            # the sorted order is shared with the band/einsum paths)
-            from ..ops.windows import bin_pack_batch
-            rel, bin_start, bin_len, n_bins = bin_pack_batch(
-                lay.win_id, sst, voxel)
-            d.update(rel=rel, bin_start=bin_start, bin_len=bin_len,
-                     n_bins=n_bins)
-        layers.append(d)
+        ))
     n = len(layers)
     last = (2 - 1) % n            # order blocks start from (= s_{1%n})
     entry = (layouts[last].perm, layouts[last].inv_perm)
@@ -99,6 +93,54 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
         return (perm, inv)
 
     orders = [layouts[0], layouts[1 % n]]
+    cross = [compose(orders[-1], orders[0]), compose(orders[0], orders[1])]
+    return dict(layers=layers, entry=entry, cross=cross)
+
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel):
+    """Shift data in the bin-packed PADDED stream layout.
+
+    Tokens live at 8-aligned-bin padded positions (``ops.windows.
+    bin_pack``, <= 6.2% dead rows); entry/cross/exit index maps are
+    injections [Vp]<->[V] with sentinel-clamped gathers — the same
+    ``_permute`` machinery moves them (real rows round-trip exactly; pad
+    rows carry garbage that attention masks by construction and the exit
+    gather never reads)."""
+    from ..ops.windows import bin_pack_batch
+
+    V = key_valid.shape[-1]
+    maps, layers = [], []
+    for lay, pos in zip(layouts, pos_embeds):
+        to_pos, to_sorted, rel, bstart, blen, nb = bin_pack_batch(
+            lay.win_id, sst, voxel)
+        src = _take(lay.perm, jnp.clip(to_sorted, 0, V - 1))
+        src = jnp.where(to_sorted == INT32_MAX, INT32_MAX, src)  # [B, Vp]
+        posrow = _take(to_pos, lay.inv_perm)                     # [B, V]
+        maps.append((src, posrow))
+        win_p = _take(lay.win_id, jnp.clip(to_sorted, 0, V - 1))
+        win_p = jnp.where(to_sorted == INT32_MAX, INT32_MAX, win_p)
+        layers.append(dict(
+            pos_sorted=_take(pos, jnp.clip(src, 0, V - 1)),
+            win_id=win_p,
+            key_valid_sorted=win_p != INT32_MAX,
+            rel=rel, bin_start=bstart, bin_len=blen, n_bins=nb))
+    n = len(layers)
+    last = (2 - 1) % n
+    entry = maps[last]
+
+    def compose(a, b):            # padded order a -> padded order b
+        if a is b:
+            return None
+        idx_ab = _take(a[1], jnp.clip(b[0], 0, V - 1))
+        idx_ab = jnp.where(b[0] == INT32_MAX, 0, idx_ab)
+        idx_ba = _take(b[1], jnp.clip(a[0], 0, V - 1))
+        idx_ba = jnp.where(a[0] == INT32_MAX, 0, idx_ba)
+        return (idx_ab, idx_ba)
+
+    orders = [maps[0], maps[1 % n]]
     cross = [compose(orders[-1], orders[0]), compose(orders[0], orders[1])]
     return dict(layers=layers, entry=entry, cross=cross)
 
@@ -119,7 +161,7 @@ def _select_attention(impl: str, layer_data: dict | None = None):
     if impl == "einsum":
         return None
     has_bins = layer_data is not None and "rel" in layer_data
-    if (impl == "bin" or (impl == "auto" and _is_tpu_backend())) and has_bins:
+    if impl == "bin" and has_bins:
         from ..ops.pallas_binattn import bin_attention
         return "bin", bin_attention
     if impl in ("pallas", "bin") or (impl == "auto" and _is_tpu_backend()):
@@ -165,9 +207,12 @@ class WindowMHA(nn.Module):
                                   (fused[0] == "band" and V % 128 != 0)):
             fused = None
         if fused is not None and fused[0] == "bin":
+            # interpret mode off-TPU: lets CPU tests drive this path
+            from ..ops.windows import BIN_TILE
             out = fused[1](q, k, v, layer_data["rel"],
                            layer_data["bin_start"], layer_data["bin_len"],
-                           layer_data["n_bins"])
+                           layer_data["n_bins"], BIN_TILE,
+                           not _is_tpu_backend())
         elif fused is not None:
             # tile 256 measured 2.5x faster than 128 on v5e (fewer grid
             # steps, larger matmuls/DMAs); 512 regresses (VPU-heavy tiles)
@@ -313,9 +358,11 @@ class GroupedWindowMHA(nn.Module):
                                   (fused[0] == "band" and V % 128 != 0)):
             fused = None
         if fused is not None and fused[0] == "bin":
+            from ..ops.windows import BIN_TILE
             out = fused[1](q, k, v, layer_data["rel"],
                            layer_data["bin_start"], layer_data["bin_len"],
-                           layer_data["n_bins"])
+                           layer_data["n_bins"], BIN_TILE,
+                           not _is_tpu_backend())
         elif fused is not None:
             tile = 256 if V % 256 == 0 else 128
             out = fused[1](q, k, v, layer_data["win_id"],

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 256
+DEFAULT_TILE = 512
 _NEG = -1e9
 _EPS = 1e-20
 _AUX_LANES = 128     # rel bounds ride a 128-lane bf16 array (DMA-aligned)
@@ -73,8 +73,14 @@ def _prefetch(S_ref, nb_ref, issue, l, b, j, slot, cur):
 
 
 def _mask_bias(aux_view, tile):
-    rs = aux_view[:, 0:1].astype(jnp.float32)      # [tile, 1] sublane
-    re = aux_view[:, 1:2].astype(jnp.float32)
+    # rel rides bf16 as DELTAS from the row's own in-bin offset (<= 144,
+    # bf16-exact; absolute offsets up to the 512-row tile would round)
+    ds = aux_view[:, 0:1].astype(jnp.float32)      # [tile, 1] sublane
+    de = aux_view[:, 1:2].astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) \
+        .astype(jnp.float32)
+    rs = rowi - ds
+    re = rowi + de
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
         .astype(jnp.float32)
     mask = (col >= rs) & (col < re)
@@ -86,9 +92,11 @@ def _mask_bias(aux_view, tile):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(q_ref, k_ref, v_ref, aux_ref, o_ref, *, tile, nheads,
-              head_dim):
-    q = q_ref[...]
+def _fwd_body(qkv_ref, aux_ref, o_ref, *, tile, nheads, head_dim):
+    C = nheads * head_dim
+    q = qkv_ref[:, :C]
+    k_ref = qkv_ref.at[:, C:2 * C]
+    v_ref = qkv_ref.at[:, 2 * C:3 * C]
     bias, nonempty = _mask_bias(aux_ref, tile)
     ones = jnp.ones((tile, 1), jnp.float32)
     scale = 1.0 / (head_dim ** 0.5)
@@ -109,8 +117,8 @@ def _fwd_body(q_ref, k_ref, v_ref, aux_ref, o_ref, *, tile, nheads,
         o_ref[:, sl] = o.astype(o_ref.dtype)
 
 
-def _fwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, aux_hbm, out_hbm,
-                qbuf, kbuf, vbuf, auxbuf, obuf, flag, sems, wsem, *,
+def _fwd_kernel(S_ref, L_ref, nb_ref, qkv_hbm, aux_hbm, out_hbm,
+                qkvbuf, auxbuf, obuf, flag, sems, wsem, *,
                 tile, nheads, head_dim):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -124,9 +132,8 @@ def _fwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, aux_hbm, out_hbm,
         flag[0] = 0
 
     def issue(bb, jj, sl):
-        S = S_ref[bb, jj]
-        for hbm, buf, si in ((q_hbm, qbuf, 0), (k_hbm, kbuf, 1),
-                             (v_hbm, vbuf, 2), (aux_hbm, auxbuf, 3)):
+        S = pl.multiple_of(S_ref[bb, jj], 8)
+        for hbm, buf, si in ((qkv_hbm, qkvbuf, 0), (aux_hbm, auxbuf, 1)):
             pltpu.make_async_copy(hbm.at[bb, pl.ds(S, tile), :],
                                   buf.at[sl], sems.at[sl, si]).start()
 
@@ -140,12 +147,11 @@ def _fwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, aux_hbm, out_hbm,
 
     @pl.when(cur)
     def _():
-        for buf, si in ((qbuf, 0), (kbuf, 1), (vbuf, 2), (auxbuf, 3)):
+        for buf, si in ((qkvbuf, 0), (auxbuf, 1)):
             pltpu.make_async_copy(buf.at[slot], buf.at[slot],
                                   sems.at[slot, si]).wait()
-        _fwd_body(qbuf.at[slot], kbuf.at[slot], vbuf.at[slot],
-                  auxbuf.at[slot], obuf.at[slot], tile=tile,
-                  nheads=nheads, head_dim=head_dim)
+        _fwd_body(qkvbuf.at[slot], auxbuf.at[slot], obuf.at[slot],
+                  tile=tile, nheads=nheads, head_dim=head_dim)
 
         # ordered overlapping write: wait the previous step's write, then
         # issue ours (ascending order ==> the owner bin lands last)
@@ -154,7 +160,8 @@ def _fwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, aux_hbm, out_hbm,
             wwait()
 
         pltpu.make_async_copy(
-            obuf.at[slot], out_hbm.at[b, pl.ds(S_ref[b, j], tile), :],
+            obuf.at[slot],
+            out_hbm.at[b, pl.ds(pl.multiple_of(S_ref[b, j], 8), tile), :],
             wsem).start()
         flag[0] = 1
 
@@ -169,10 +176,14 @@ def _fwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, aux_hbm, out_hbm,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_body(q_ref, k_ref, v_ref, do_ref, o_ref, aux_ref,
-              dq_ref, dk_ref, dv_ref, L, *, tile, nheads, head_dim):
-    q = q_ref[...]
-    do = do_ref[...]
+def _bwd_body(big_ref, aux_ref, dq_ref, dk_ref, dv_ref, L, *, tile,
+              nheads, head_dim):
+    C = nheads * head_dim
+    q = big_ref[:, :C]
+    k_ref = big_ref.at[:, C:2 * C]
+    v_ref = big_ref.at[:, 2 * C:3 * C]
+    do = big_ref[:, 3 * C:4 * C]
+    o_ref = big_ref.at[:, 4 * C:5 * C]
     bias, nonempty = _mask_bias(aux_ref, tile)
     # TRANSPOSED-path bias: spillover rows (>= L, owned by later bins)
     # carry owner-bin-relative ranges, so as KEY rows their garbage
@@ -189,7 +200,7 @@ def _bwd_body(q_ref, k_ref, v_ref, do_ref, o_ref, aux_ref,
     scale = 1.0 / (head_dim ** 0.5)
     for h in range(nheads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        z = (do[:, sl] * o_ref[:, sl]).astype(jnp.float32)   # [tile, D]
+        z = (do[:, sl] * o_ref[:, sl]).astype(jnp.float32)    # [tile, D]
         # D_i in both orientations via ones-contractions (MXU)
         d_sub = jax.lax.dot_general(                         # [tile, 1]
             z, onesd, (((1,), (0,)), ((), ())),
@@ -241,9 +252,9 @@ def _bwd_body(q_ref, k_ref, v_ref, do_ref, o_ref, aux_ref,
         dv_ref[:, sl] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, do_hbm, o_hbm, aux_hbm,
+def _bwd_kernel(S_ref, L_ref, nb_ref, big_hbm, aux_hbm,
                 dq_hbm, dk_hbm, dv_hbm,
-                qbuf, kbuf, vbuf, dobuf, obuf2, auxbuf,
+                bigbuf, auxbuf,
                 dqb, dkb, dvb, flag, sems, wsems, *, tile, nheads, head_dim):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -257,10 +268,8 @@ def _bwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, do_hbm, o_hbm, aux_hb
         flag[0] = 0
 
     def issue(bb, jj, sl):
-        S = S_ref[bb, jj]
-        for hbm, buf, si in ((q_hbm, qbuf, 0), (k_hbm, kbuf, 1),
-                             (v_hbm, vbuf, 2), (do_hbm, dobuf, 3),
-                             (o_hbm, obuf2, 4), (aux_hbm, auxbuf, 5)):
+        S = pl.multiple_of(S_ref[bb, jj], 8)
+        for hbm, buf, si in ((big_hbm, bigbuf, 0), (aux_hbm, auxbuf, 1)):
             pltpu.make_async_copy(hbm.at[bb, pl.ds(S, tile), :],
                                   buf.at[sl], sems.at[sl, si]).start()
 
@@ -274,12 +283,10 @@ def _bwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, do_hbm, o_hbm, aux_hb
 
     @pl.when(cur)
     def _():
-        for buf, si in ((qbuf, 0), (kbuf, 1), (vbuf, 2), (dobuf, 3),
-                        (obuf2, 4), (auxbuf, 5)):
+        for buf, si in ((bigbuf, 0), (auxbuf, 1)):
             pltpu.make_async_copy(buf.at[slot], buf.at[slot],
                                   sems.at[slot, si]).wait()
-        _bwd_body(qbuf.at[slot], kbuf.at[slot], vbuf.at[slot],
-                  dobuf.at[slot], obuf2.at[slot], auxbuf.at[slot],
+        _bwd_body(bigbuf.at[slot], auxbuf.at[slot],
                   dqb.at[slot], dkb.at[slot], dvb.at[slot], L_ref[b, j],
                   tile=tile, nheads=nheads, head_dim=head_dim)
 
@@ -287,7 +294,7 @@ def _bwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, do_hbm, o_hbm, aux_hb
         def _():
             wwait()
 
-        S = S_ref[b, j]
+        S = pl.multiple_of(S_ref[b, j], 8)
         for buf, hbm, wi in ((dqb, dq_hbm, 0), (dkb, dk_hbm, 1),
                              (dvb, dv_hbm, 2)):
             pltpu.make_async_copy(buf.at[slot], hbm.at[b, pl.ds(S, tile), :],
@@ -305,37 +312,35 @@ def _bwd_kernel(S_ref, L_ref, nb_ref, q_hbm, k_hbm, v_hbm, do_hbm, o_hbm, aux_hb
 
 
 def _streams(q, k, v, rel, tile, extra=()):
-    """Flatten heads, pad rows by ``tile``, build the 128-lane aux."""
+    """One channel-concatenated padded stream (ONE data DMA per grid
+    step) + the 128-lane aux."""
     B, V = q.shape[:2]
-
-    def padrows(x):
-        return jnp.pad(x.reshape(B, V, -1), ((0, 0), (0, tile), (0, 0)))
-
+    parts = [x.reshape(B, V, -1) for x in (q, k, v) + tuple(extra)]
+    big = jnp.pad(jnp.concatenate(parts, axis=-1),
+                  ((0, 0), (0, tile), (0, 0)))
     aux = jnp.pad(rel.astype(jnp.bfloat16),
                   ((0, 0), (0, tile), (0, _AUX_LANES - rel.shape[-1])))
-    return [padrows(x) for x in (q, k, v) + tuple(extra)] + [aux]
+    return big, aux
 
 
 def _bin_forward(q, k, v, rel, bin_start, bin_len, n_bins, tile,
                  interpret=False):
     B, V, H, D = q.shape
     C = H * D
-    qf, kf, vf, aux = _streams(q, k, v, rel, tile)
+    big, aux = _streams(q, k, v, rel, tile)
     NB = bin_start.shape[1]
     kern = functools.partial(_fwd_kernel, tile=tile, nheads=H, head_dim=D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, NB),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, C), q.dtype),
-            pltpu.VMEM((2, tile, C), k.dtype),
-            pltpu.VMEM((2, tile, C), v.dtype),
+            pltpu.VMEM((2, tile, 3 * C), q.dtype),
             pltpu.VMEM((2, tile, _AUX_LANES), jnp.bfloat16),
             pltpu.VMEM((2, tile, C), v.dtype),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -345,8 +350,8 @@ def _bin_forward(q, k, v, rel, bin_start, bin_len, n_bins, tile,
         out_shape=jax.ShapeDtypeStruct((B, V + tile, C), v.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(bin_start, bin_len, n_bins, qf, kf, vf, aux)
-    valid = rel[:, :, 1] > rel[:, :, 0]
+    )(bin_start, bin_len, n_bins, big, aux)
+    valid = (rel[:, :, 0] + rel[:, :, 1]) > 0
     out = jnp.where(valid[:, :, None], out[:, :V], 0)
     return out.reshape(B, V, H, D)
 
@@ -355,27 +360,22 @@ def _bin_backward(q, k, v, rel, bin_start, bin_len, n_bins, out, g, tile,
                   interpret=False):
     B, V, H, D = q.shape
     C = H * D
-    qf, kf, vf, gf, of, aux = _streams(q, k, v, rel, tile,
-                                       extra=(g, out))
+    big, aux = _streams(q, k, v, rel, tile, extra=(g, out))
     NB = bin_start.shape[1]
     kern = functools.partial(_bwd_kernel, tile=tile, nheads=H, head_dim=D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, NB),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 3),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, C), q.dtype),
-            pltpu.VMEM((2, tile, C), k.dtype),
-            pltpu.VMEM((2, tile, C), v.dtype),
-            pltpu.VMEM((2, tile, C), g.dtype),
-            pltpu.VMEM((2, tile, C), out.dtype),
+            pltpu.VMEM((2, tile, 5 * C), q.dtype),
             pltpu.VMEM((2, tile, _AUX_LANES), jnp.bfloat16),
             pltpu.VMEM((2, tile, C), q.dtype),
             pltpu.VMEM((2, tile, C), k.dtype),
             pltpu.VMEM((2, tile, C), v.dtype),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -387,8 +387,8 @@ def _bin_backward(q, k, v, rel, bin_start, bin_len, n_bins, out, g, tile,
             for x in (q, k, v)),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(bin_start, bin_len, n_bins, qf, kf, vf, gf, of, aux)
-    valid = (rel[:, :, 1] > rel[:, :, 0])[:, :, None]
+    )(bin_start, bin_len, n_bins, big, aux)
+    valid = ((rel[:, :, 0] + rel[:, :, 1]) > 0)[:, :, None]
     shape = (B, V, H, D)
     return tuple(jnp.where(valid, x[:, :V], 0).reshape(shape)
                  for x in (dq, dk, dv))
@@ -401,8 +401,9 @@ def bin_attention(q, k, v, rel, bin_start, bin_len, n_bins,
 
     Args:
       q, k, v:   [B, V, H, D] window-sorted tokens.
-      rel:       int32 [B, V, 2] bin-relative window [start, end) per row
-                 (``ops.windows.bin_pack_batch``); invalid rows [0, 0).
+      rel:       int32 [B, V, 2] per-row window-range deltas from the
+                 row's in-bin offset (``ops.windows.bin_pack_batch``);
+                 invalid rows [0, 0).
       bin_start: int32 [B, NB] stream row of each bin (sentinel V).
       bin_len:   int32 [B, NB] rows owned by each bin.
       n_bins:    int32 [B].

@@ -100,7 +100,7 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
 # bin packing: cut the window-sorted stream into <=BIN_TILE-row bins
 # ---------------------------------------------------------------------------
 
-BIN_TILE = 256
+BIN_TILE = 512
 
 
 def win_grid_cap(sst: SSTConfig, voxel: VoxelConfig) -> int:
@@ -118,28 +118,44 @@ def bin_cap(v_cap: int, sst: SSTConfig, tile: int = BIN_TILE) -> int:
     return v_cap // max(min_fill, 1) + 2
 
 
-def bin_pack(win_sorted: jnp.ndarray, w_cap: int, nb_cap: int,
-             tile: int = BIN_TILE):
-    """Next-fit pack whole windows into ``tile``-row bins (one sample).
+def padded_cap(v_cap: int, sst: SSTConfig, tile: int = BIN_TILE) -> int:
+    """Static padded-stream size: every bin's end rounds up to a multiple
+    of 8 rows (Mosaic DMA sublane alignment), costing <= 7 rows per bin."""
+    return v_cap + 8 * bin_cap(v_cap, sst, tile)
 
-    The stream is already window-sorted (``make_layout``); packing only
-    chooses CUT POINTS between windows — no reordering, no padding rows.
-    Every window lies entirely inside exactly one bin (window size
-    <= win_x*win_y <= tile), so per-bin attention is exact.
+
+def bin_pack(win_sorted: jnp.ndarray, w_cap: int, nb_cap: int, vp: int,
+             tile: int = BIN_TILE):
+    """Next-fit pack whole windows into <= ``tile``-row bins, laid out in
+    a PADDED stream whose bins all start at multiples of 8 (one sample).
+
+    The stream is already window-sorted (``make_layout``); packing
+    chooses cut points between windows and rounds each bin's length up to
+    a multiple of 8 (Mosaic DMA sublane alignment; <= 7 dead rows per
+    bin, <= 6.2% inflation since bins hold >= tile - 143 rows).  Every
+    window lies entirely inside exactly one bin (window size <=
+    win_x*win_y <= tile), so per-bin attention is exact and drop-free.
 
     Args:
       win_sorted: int32 [V] ascending window ids, INT32_MAX suffix.
-      w_cap / nb_cap: static caps (``win_grid_cap`` / ``bin_cap``).
+      w_cap / nb_cap / vp: static caps (``win_grid_cap`` / ``bin_cap`` /
+                ``padded_cap``).
     Returns:
-      rel:      int32 [V, 2] — per row, its window's [start, end) ROW range
-                relative to the owning bin's start (0 <= start < end <=
-                tile for valid rows; [0, 0) for invalid rows).
-      bin_start: int32 [nb_cap] — stream row of each bin's first window;
-                sentinel V beyond ``n_bins``.
-      bin_len:  int32 [nb_cap] — rows OWNED by each bin (<= tile); 0
-                beyond ``n_bins``.  Kernels use it to exclude spillover
-                rows (whose rel is owner-bin-relative) from key roles.
-      n_bins:   int32 [].
+      to_pos:    int32 [V] — padded position of each sorted row
+                 (INT32_MAX for invalid rows).
+      to_sorted: int32 [vp] — sorted row at each padded position
+                 (INT32_MAX at pad rows / tail).
+      rel:       int32 [vp, 2] — the window's row range as DELTAS from
+                 the row's own in-bin offset ``o``: the range is
+                 ``[o - rel[0], o + rel[1])``.  Deltas are <= window size
+                 (144) so they stay exact through a bfloat16 carrier
+                 (absolute offsets up to the 512-row tile would round);
+                 pads/tail: [0, 0) (an empty range).
+      bin_start: int32 [nb_cap] — padded start of each bin (every value
+                 a multiple of 8; 0 beyond ``n_bins``).
+      bin_len:   int32 [nb_cap] — padded bin length (multiple of 8,
+                 <= tile; 0 beyond ``n_bins``).
+      n_bins:    int32 [].
     """
     from . import scatter
 
@@ -163,32 +179,61 @@ def bin_pack(win_sorted: jnp.ndarray, w_cap: int, nb_cap: int,
     binw = jnp.cumsum(newbin.astype(jnp.int32)) - 1          # bin per window
     startw = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
-    ohb = (binw[:, None] == jnp.arange(nb_cap)[None, :]) & newbin[:, None]
-    bin_start = jnp.sum(jnp.where(ohb, startw[:, None], 0),
-                        axis=0).astype(jnp.int32)
-    n_bins = jnp.sum(newbin).astype(jnp.int32)
     idx = jnp.arange(nb_cap)
-    bin_start = jnp.where(idx < n_bins, bin_start, V)
+    ohb = (binw[:, None] == idx[None, :]) & newbin[:, None]
+    s_unp = jnp.sum(jnp.where(ohb, startw[:, None], 0),
+                    axis=0).astype(jnp.int32)                # sorted starts
+    n_bins = jnp.sum(newbin).astype(jnp.int32)
     nv = jnp.sum(valid).astype(jnp.int32)
     nxt = jnp.where(idx < n_bins - 1,
-                    jnp.concatenate([bin_start[1:], bin_start[-1:]]), nv)
-    bin_len = jnp.where(idx < n_bins, nxt - bin_start, 0).astype(jnp.int32)
+                    jnp.concatenate([s_unp[1:], s_unp[-1:]]), nv)
+    lb = jnp.where(idx < n_bins, nxt - s_unp, 0)             # real rows
+    lp = ((lb + 7) // 8) * 8                                 # padded rows
+    s_pad = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(lp)[:-1]])           # mult of 8
+    s_pad = jnp.where(idx < n_bins, s_pad, 0).astype(jnp.int32)
 
-    relw = startw - jnp.take(bin_start, jnp.clip(binw, 0, nb_cap - 1))
+    # per-row padded position: shift by the padding of earlier bins
+    s_cmp = jnp.where(idx < n_bins, s_unp, INT32_MAX)
+    rows = jnp.arange(V, dtype=jnp.int32)
+    bin_r = jnp.sum(rows[:, None] >= s_cmp[None, :], axis=1) - 1
+    bin_r = jnp.clip(bin_r, 0, nb_cap - 1)
+    to_pos = jnp.where(valid,
+                       rows + jnp.take(s_pad - s_unp, bin_r), INT32_MAX)
+
+    # inverse map + per-position window range
+    sp_cmp = jnp.where(idx < n_bins,
+                       jnp.cumsum(jnp.concatenate(
+                           [jnp.zeros((1,), jnp.int32), lp[:-1]])),
+                       INT32_MAX)
+    ppos = jnp.arange(vp, dtype=jnp.int32)
+    bin_p = jnp.sum(ppos[:, None] >= sp_cmp[None, :], axis=1) - 1
+    ok_bin = bin_p >= 0
+    bin_p = jnp.clip(bin_p, 0, nb_cap - 1)
+    off = ppos - jnp.take(s_pad, bin_p)
+    r_of_p = jnp.take(s_unp, bin_p) + off
+    ok = ok_bin & (off < jnp.take(lb, bin_p))
+    to_sorted = jnp.where(ok, r_of_p, INT32_MAX)
+
+    relw = startw - jnp.take(s_unp, jnp.clip(binw, 0, nb_cap - 1))
     tbl = jnp.stack([relw, relw + sizes], axis=-1)           # [w_cap, 2]
     tbl = jnp.concatenate([tbl, jnp.zeros((1, 2), jnp.int32)], axis=0)
-    rel = jnp.take(tbl, jnp.minimum(widx, w_cap), axis=0)    # [V, 2]
-    return rel, bin_start, bin_len, n_bins
+    rel_r = jnp.take(tbl, jnp.minimum(widx, w_cap), axis=0)  # [V, 2] abs
+    rel_p = jnp.take(rel_r, jnp.clip(r_of_p, 0, V - 1), axis=0)
+    deltas = jnp.stack([off - rel_p[:, 0], rel_p[:, 1] - off], axis=-1)
+    rel = jnp.where(ok[:, None], deltas, 0)
+    return to_pos, to_sorted, rel, s_pad, lp.astype(jnp.int32), n_bins
 
 
 def bin_pack_batch(win_sorted: jnp.ndarray, sst: SSTConfig,
                    voxel: VoxelConfig, tile: int = BIN_TILE):
-    """Batched :func:`bin_pack`
-    ([B, V] -> rel [B, V, 2], starts, lens, counts)."""
+    """Batched :func:`bin_pack` ([B, V] -> per-sample padded layouts)."""
     V = win_sorted.shape[-1]
     w_cap = min(win_grid_cap(sst, voxel), V)
     nb_cap = bin_cap(V, sst, tile)
-    return jax.vmap(lambda w: bin_pack(w, w_cap, nb_cap, tile))(win_sorted)
+    vp = padded_cap(V, sst, tile)
+    return jax.vmap(lambda w: bin_pack(w, w_cap, nb_cap, vp, tile))(
+        win_sorted)
 
 
 def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,
