@@ -119,8 +119,13 @@ class MaskedBatchNorm(nn.Module):
             m = mask.astype(jnp.float32)[..., None]
             cnt = jnp.maximum(jnp.sum(m), 1.0)
             red = tuple(range(x.ndim - 1))
-            mean = jnp.sum(xf * m, axis=red) / cnt
-            var = jnp.sum(jnp.square(xf - mean) * m, axis=red) / cnt
+            # one-pass moments: E[x^2] - E[x]^2 halves the passes over the
+            # [1M, C] activations vs the centered two-pass form (values are
+            # O(1-30) matmul outputs, so f32 cancellation is harmless)
+            xm = xf * m
+            mean = jnp.sum(xm, axis=red) / cnt
+            var = jnp.maximum(
+                jnp.sum(xm * xf, axis=red) / cnt - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch updates running_var with the *unbiased* estimate
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)

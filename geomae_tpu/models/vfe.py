@@ -61,6 +61,37 @@ def _gather_use_pallas(P: int) -> bool:
     return _is_tpu_backend() and P % _SEG_CHUNK == 0
 
 
+def _mean_bcast_b(data, seg, num, valid):
+    """Per-point segment-mean broadcast (one fused pallas call on TPU;
+    reduce + gather-back elsewhere).  Sentinel/invalid rows return 0."""
+    if _use_pallas(data.shape[1]):
+        from ..ops.pallas_segreduce import segment_broadcast_pallas
+        d = jnp.where(valid[..., None], data, 0).astype(jnp.float32)
+        return segment_broadcast_pallas(d, seg, num, "mean",
+                                        _SEG_CHUNK).astype(data.dtype)
+
+    def one(d, s, v):
+        m, _ = scatter.segment_mean(jnp.where(v[:, None], d, 0), s, num, v,
+                                    sorted_ids=True)
+        return scatter.take_rows_sorted(m, s)
+    return jax.vmap(one)(data, seg, valid)
+
+
+def _max_bcast_b(data, seg, num, valid):
+    """Per-point segment-max broadcast; invalid/empty rows return 0."""
+    if _use_pallas(data.shape[1]):
+        from ..ops.pallas_segreduce import segment_broadcast_pallas
+        neutral = jnp.asarray(-3.0e38, data.dtype)
+        d = jnp.where(valid[..., None], data, neutral)
+        out = segment_broadcast_pallas(d, seg, num, "max", _SEG_CHUNK)
+        return jnp.where(valid[..., None], out, 0).astype(data.dtype)
+
+    def one(d, s, v):
+        m = scatter.segment_max(d, s, num, v, sorted_ids=True)
+        return scatter.take_rows_sorted(m, s)
+    return jax.vmap(one)(data, seg, valid)
+
+
 def _seg_mean_b(data, seg, num, valid, row_valid):
     """Batched masked segment mean over ASCENDING ids.
 
@@ -144,19 +175,26 @@ class DynamicScatterVFE(nn.Module):
         xyz = points[..., :3]
 
         feats = [points]
-        if self.cfg.with_cluster_center or self.cfg.with_voxel_center:
-            # one combined per-pillar gather: [mean xyz, pillar cy, cx]
-            vmean = _seg_mean_b(xyz, p2v, v_cap, point_valid, table.valid)
-            vrow = jnp.concatenate(
-                [vmean, table.coords.astype(vmean.dtype)], axis=-1)
-            prow = _gather_b(vrow, p2v)
         if self.cfg.with_cluster_center:
-            feats.append(xyz - prow[..., :3])
+            # fused mean+broadcast: the cluster center arrives per POINT in
+            # one pallas call (the [V, 3] table never round-trips HBM)
+            pmean = _mean_bcast_b(xyz, p2v, v_cap, point_valid)
+            feats.append(xyz - pmean)
         if self.cfg.with_voxel_center:
+            # pillar centers ELEMENTWISE from each point's own coords —
+            # identical to the table row's coords (same floor + clamp
+            # formula, ops/voxelize.low_voxel_coords), no gather needed
+            from ..ops.voxelize import low_voxel_coords
+            _, ry, rx = self.voxel.sub_voxel_ratio_low
+            low = jax.vmap(lambda p: low_voxel_coords(p, self.voxel))(
+                points[..., :3])
+            # overflow/sentinel rows mirror the old table-gather semantics
+            # (gather at sentinel returned 0 coords)
+            incap = (p2v < v_cap)
+            py = jnp.where(incap, low[..., 1] // ry, 0).astype(points.dtype)
+            px = jnp.where(incap, low[..., 2] // rx, 0).astype(points.dtype)
             r = self.voxel.point_cloud_range
             vx, vy, vz = self.voxel.voxel_size
-            py = prow[..., 3].astype(points.dtype)
-            px = prow[..., 4].astype(points.dtype)
             fc = jnp.stack([
                 points[..., 0] - (px * vx + (vx / 2 + r[0])),
                 points[..., 1] - (py * vy + (vy / 2 + r[1])),
@@ -167,14 +205,21 @@ class DynamicScatterVFE(nn.Module):
             feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
         x = jnp.concatenate(feats, axis=-1)
         x = jnp.where(point_valid[..., None], x, 0.0).astype(self.dtype)
+        # the decorations are parameter-free functions of the scene: no
+        # gradient flows upstream, so cut the (pallas-backed) backward of
+        # the mean/gather chain out of the step graph entirely
+        x = jax.lax.stop_gradient(x)
 
         chans = list(self.cfg.feat_channels)
         for i, ch in enumerate(chans):
             x = DynamicVFELayer(ch, self.cfg.bn_eps, self.cfg.bn_momentum,
                                 self.dtype, name=f"vfe_{i}")(
                                     x, point_valid, train)
-            vmax = _seg_max_b(x, p2v, v_cap, point_valid, table.valid)
             if i != len(chans) - 1:
-                x = jnp.concatenate([x, _gather_b(vmax, p2v)], axis=-1)
+                # fused max+broadcast (one call instead of reduce+gather)
+                x = jnp.concatenate(
+                    [x, _max_bcast_b(x, p2v, v_cap, point_valid)], axis=-1)
+            else:
+                vmax = _seg_max_b(x, p2v, v_cap, point_valid, table.valid)
 
         return jnp.where(table.valid[..., None], vmax, 0.0)

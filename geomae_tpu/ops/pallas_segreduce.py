@@ -253,13 +253,28 @@ def _bwd_gather(table, seg_ids, num_segments, chunk):
 
 def _reduce_bwd(num_segments, is_max, chunk, exact, res, g):
     x, seg_ids, out = res
-    g_pt = _bwd_gather(g.astype(jnp.float32), seg_ids, num_segments, chunk)
     if is_max:
-        out_pt = _bwd_gather(out, seg_ids, num_segments, chunk)
+        if jnp.dtype(x.dtype) == jnp.bfloat16:
+            # ONE fused gather for (cotangent, max) via channel concat;
+            # bf16 carriers are LOSSLESS only for bf16-born max payloads
+            # (the argmax equality below needs out_pt == x bit-exact) and
+            # keep the resident table within VMEM at 2x128 channels
+            C = x.shape[-1]
+            both = jnp.concatenate([g.astype(jnp.bfloat16),
+                                    out.astype(jnp.bfloat16)], axis=-1)
+            both_pt = _bwd_gather(both, seg_ids, num_segments, chunk)
+            g_pt = both_pt[..., :C].astype(jnp.float32)
+            out_pt = both_pt[..., C:].astype(jnp.float32)
+        else:
+            g_pt = _bwd_gather(g.astype(jnp.float32), seg_ids,
+                               num_segments, chunk)
+            out_pt = _bwd_gather(out, seg_ids, num_segments, chunk)
         ok = (seg_ids >= 0) & (seg_ids < num_segments)
         hit = (x.astype(jnp.float32) == out_pt) & ok[..., None]
         dx = jnp.where(hit, g_pt, 0.0)
     else:
+        g_pt = _bwd_gather(g.astype(jnp.float32), seg_ids, num_segments,
+                           chunk)
         dx = g_pt                      # gather already zeroes sentinel rows
     return dx.astype(x.dtype), None
 
@@ -379,6 +394,214 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
 
 
 # ---------------------------------------------------------------------------
+# fused segment broadcast (reduce + gather-back in ONE kernel)
+# ---------------------------------------------------------------------------
+
+
+def _bcast_kernel(meta_ref, x_ref, seg_ref, out_ref, acc, *, chunk, op,
+                  num_segments, split, cnt_idx=0):
+    """Two-sweep grid (b, g, i): g=0 accumulates the segment reduce into
+    the VMEM-resident table, g=1 window-gathers it back per chunk.  The
+    reduced table never round-trips HBM and the whole reduce+broadcast is
+    one pallas call (per-call overhead is the dominant cost of the
+    separate reduce+gather pair at [4, 262k, 64] on v5e).
+
+    ``split``: the accumulated f32 table values are not bf16-representable,
+    so the gather-back dot would truncate them on the MXU; a Veltkamp
+    split (pure f32 arithmetic — bitwise/cast chains scalarize in Mosaic,
+    see ``split_hi_lo``) rides them through two dots at ~2^-16 relative
+    accuracy."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    i = pl.program_id(2)
+    neutral = _NEG if op == "max" else 0.0
+
+    @pl.when((g == 0) & (i == 0))
+    def _():
+        acc[...] = jnp.full_like(acc, neutral)
+
+    x = x_ref[0].astype(jnp.float32)              # [T, C(+1)]
+    seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids
+    seg0 = meta_ref[b, i].astype(jnp.float32)
+    rel = seg - seg0
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
+        .astype(jnp.float32)
+    start = meta_ref[b, i]
+
+    @pl.when(g == 0)
+    def _():
+        if op == "max":
+            pos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            xm = x
+            k = 1
+            while k < chunk:
+                x_s = pltpu.roll(xm, k, 0)
+                seg_s = pltpu.roll(seg, k, 0)
+                ok = (pos >= k) & (seg == seg_s)
+                xm = jnp.maximum(xm, jnp.where(ok, x_s, neutral))
+                k *= 2
+            is_end = (seg != pltpu.roll(seg, chunk - 1, 0)) \
+                | (pos == chunk - 1)
+            E = ((rel == j) & is_end).astype(jnp.float32)
+            W = _route(E, xm)
+            has_end = jax.lax.dot_general(
+                E, jnp.ones((chunk, 1), jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(chunk, 1) > 0.5
+            W = jnp.where(has_end, W, neutral)
+            acc[pl.ds(start, chunk), :] = jnp.maximum(
+                acc[pl.ds(start, chunk), :], W)
+        else:
+            E = (rel == j).astype(jnp.float32)
+            acc[pl.ds(start, chunk), :] = (acc[pl.ds(start, chunk), :]
+                                           + _route(E, x))
+
+    @pl.when(g == 1)
+    def _():
+        E = (rel == j).astype(jnp.float32)
+        window = acc[pl.ds(start, chunk), :]
+        if split:
+            # Veltkamp: hi keeps the top 8 mantissa bits (bf16-exact on
+            # the MXU), lo carries the rest (truncates to ~2^-16 rel)
+            c = window * 65537.0
+            w_hi = c - (c - window)
+            y = jax.lax.dot_general(E, w_hi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            y = y + jax.lax.dot_general(E, window - w_hi,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            y = jax.lax.dot_general(E, window, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        if op == "mean":
+            cnt = jnp.maximum(y[:, cnt_idx:cnt_idx + 1], 1.0)
+            y = y / cnt
+        # overhang rows DO accumulate (the one-hot window spans
+        # [seg0, seg0+chunk)); points of overflowed/sentinel segments must
+        # read 0 like the fallback's clipped take_rows, not the overhang
+        y = jnp.where(seg < float(num_segments), y, 0.0)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _bcast_forward(x, seg_ids, num_segments, op, chunk, exact=True):
+    B, P, C = x.shape
+    assert P % chunk == 0, (P, chunk)
+    dtype = x.dtype
+    # exact f32 accumulation: hi/lo-split the payload channels (see
+    # _reduce_forward) so the g=0 routing dots don't truncate to bf16;
+    # the g=1 gather splits in-kernel (Veltkamp) since the accumulated
+    # sums are new f32 values.  Max is selection (bf16-born payloads).
+    split = (exact and op != "max" and C <= 63
+             and jnp.dtype(dtype) == jnp.float32)
+    xin = x.astype(jnp.float32)
+    if split:
+        hi, lo = split_hi_lo(xin)
+        xin = jnp.concatenate([hi, lo], axis=-1)
+    if op == "mean":
+        xin = jnp.concatenate(
+            [xin, jnp.ones((B, P, 1), jnp.float32)], axis=-1)
+    cnt_idx = xin.shape[-1] - 1
+    xin, Cp = _pad_channels(xin, op == "max")
+    seg_f = seg_ids.astype(jnp.float32)
+    seg2 = jnp.stack([seg_f, seg_f], axis=-1)
+    meta = _seg0_meta(seg_ids, num_segments, chunk)
+    rows = _rows_pad(num_segments, chunk)
+    nsteps = P // chunk
+
+    kern = functools.partial(_bcast_kernel, chunk=chunk, op=op,
+                             num_segments=num_segments, split=split,
+                             cnt_idx=cnt_idx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, 2, nsteps),
+        in_specs=[
+            pl.BlockSpec((1, chunk, Cp), lambda b, g, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # sweep 0 parks the output block on a trailing throwaway block (its
+        # index never changes within the sweep -> one garbage flush); sweep
+        # 1 writes the real blocks
+        out_specs=pl.BlockSpec(
+            (1, chunk, Cp),
+            lambda b, g, i, *_: (b, i * g + nsteps * (1 - g), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Cp), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P + chunk, Cp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(meta, xin, seg2)
+    out = out[:, :P]
+    if split:
+        # both halves were divided by cnt already (mean divides all lanes)
+        return (out[..., :C] + out[..., C:2 * C]).astype(dtype)
+    return out[..., :C].astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def segment_broadcast_pallas(x, seg_ids, num_segments: int, op: str,
+                             chunk: int = DEFAULT_CHUNK,
+                             exact: bool = True):
+    """Per-point segment reduction broadcast: ``out[b, t] =
+    op_{q: seg[q]==seg[t]} x[b, q]`` for ASCENDING dense ids, one pallas
+    call (contract as :func:`segment_reduce_pallas`).  ``op`` in
+    {"sum", "mean", "max"}.  Rows with seg >= num_segments (sentinel AND
+    capacity-overflow ids) return 0 on every op, like the fallback's
+    clipped take_rows.  ``exact`` as in :func:`segment_reduce_pallas`
+    (sum/mean only — max payloads are bf16-born and selection-routed)."""
+    return _bcast_forward(x, seg_ids, num_segments, op, chunk, exact)
+
+
+def _bcast_fwd(x, seg_ids, num_segments, op, chunk, exact):
+    out = _bcast_forward(x, seg_ids, num_segments, op, chunk, exact)
+    res = (x, out, seg_ids) if op == "max" else (seg_ids,)
+    return out, res
+
+
+def _bcast_bwd(num_segments, op, chunk, exact, res, g):
+    if op == "max":
+        x, out, seg_ids = res
+        gs = _bcast_cot(g, seg_ids, num_segments, "sum", chunk)
+        hit = x.astype(jnp.float32) == out.astype(jnp.float32)
+        dx = jnp.where(hit, gs, 0.0).astype(x.dtype)
+    else:
+        (seg_ids,) = res
+        # sum-broadcast is self-adjoint; mean-broadcast's adjoint is
+        # mean-broadcast (sum of cotangents / the same segment count)
+        dx = _bcast_cot(g, seg_ids, num_segments, op, chunk).astype(g.dtype)
+    return dx, None
+
+
+def _bcast_cot(g, seg_ids, num_segments, op, chunk):
+    if _on_tpu():
+        # bf16-level routing is free accuracy-wise on cotangents
+        return segment_broadcast_pallas(g.astype(jnp.float32), seg_ids,
+                                        num_segments, op, chunk, False)
+    from .scatter import segment_mean, segment_sum, take_rows_sorted
+    red = segment_mean if op == "mean" else segment_sum
+
+    def one(gg, ss):
+        # out-of-range ids are a suffix the sorted path ignores; masking
+        # via `valid` (NOT clipping into the last real segment) keeps the
+        # mean's denominator equal to the forward's per-segment count
+        ok = (ss >= 0) & (ss < num_segments)
+        r = red(gg, ss, num_segments, ok, sorted_ids=True)
+        if op == "mean":
+            r = r[0]
+        return take_rows_sorted(r, ss)
+    return jax.vmap(one)(g.astype(jnp.float32), seg_ids)
+
+
+segment_broadcast_pallas.defvjp(_bcast_fwd, _bcast_bwd)
+
+
+# ---------------------------------------------------------------------------
 # segment gather (broadcast table rows back to sorted points)
 # ---------------------------------------------------------------------------
 
@@ -401,7 +624,7 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
     seg0 = meta_ref[b, i].astype(jnp.float32)
     j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
         .astype(jnp.float32)
-    E = ((seg - seg0) == j).astype(jnp.float32)   # [T, window], natural
+    E = ((seg - seg0) == j).astype(tbl.dtype)     # [T, window], natural
     start = meta_ref[b, i]
     window = tbl[pl.ds(start, chunk), :]
     out_ref[0] = jax.lax.dot_general(
@@ -417,11 +640,20 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
     # exact f32 gathers ride the same channel-stacked (hi, lo) trick as
     # the sum (free while 2C fits the padded lane tile)
     split = exact and C <= 64 and jnp.dtype(dtype) == jnp.float32
-    table = table.astype(jnp.float32)
+    # bf16 tables STAY bf16 in VMEM (the one-hot is 0/1-exact in any
+    # dtype): a 256-channel bf16 table upcast to f32 would blow the
+    # ~16 MB VMEM budget at [20k rows]
+    if split or jnp.dtype(dtype) != jnp.bfloat16:
+        table = table.astype(jnp.float32)
     if split:
         hi, lo = split_hi_lo(table)
         table = jnp.concatenate([hi, lo], axis=-1)
-    table, Cp = _pad_channels(table, False)
+    pad_neutral = 0.0
+    Cfull = table.shape[-1]
+    Cp = max(((Cfull + 127) // 128) * 128, 128)
+    if Cp != Cfull:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, Cp - Cfull)),
+                        constant_values=pad_neutral)
     # one-hot windows reach [start, start + chunk): pad the row axis
     rows = _rows_pad(S, chunk)
     table = jnp.pad(table, ((0, 0), (0, rows - S), (0, 0)))
@@ -441,7 +673,7 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
         out_specs=pl.BlockSpec((1, chunk, Cp), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, Cp), jnp.float32),
+            pltpu.VMEM((rows, Cp), table.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )

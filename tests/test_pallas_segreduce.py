@@ -136,3 +136,51 @@ def test_slot_outer_segment_sum(rng):
             if seg[b, t] < S_SEG:
                 want[b, seg[b, t], slot[b, t]] += vals[b, t]
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max"])
+def test_segment_broadcast_matches_numpy(rng, op):
+    from geomae_tpu.ops.pallas_segreduce import segment_broadcast_pallas
+    B, P, C, S = 2, 256, 5, 40
+    x, ids = make_case(rng, B, P, C, S)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(segment_broadcast_pallas(x, ids, S, op, chunk=64))
+    xn, idn = np.asarray(x), np.asarray(ids)
+    want = np.zeros_like(xn)
+    for b in range(B):
+        for s in range(S):
+            sel = idn[b] == s
+            if not sel.any():
+                continue
+            if op == "max":
+                red = xn[b][sel].max(0)
+            elif op == "mean":
+                red = xn[b][sel].mean(0)
+            else:
+                red = xn[b][sel].sum(0)
+            want[b, sel] = red
+    # sentinel rows (ids == S) must read 0 — covered by want's zeros
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["mean", "max"])
+def test_segment_broadcast_grad(rng, op):
+    from geomae_tpu.ops.pallas_segreduce import segment_broadcast_pallas
+    B, P, C, S = 1, 128, 3, 10
+    x, ids = make_case(rng, B, P, C, S)
+
+    def f(x_):
+        with pltpu.force_tpu_interpret_mode():
+            o = segment_broadcast_pallas(x_, ids, S, op, chunk=64)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-3
+    xn = np.asarray(x)
+    for (i, j) in [(0, 0), (50, 2), (120, 1)]:
+        d1, d2 = xn.copy(), xn.copy()
+        d1[0, i, j] -= eps
+        d2[0, i, j] += eps
+        fd = (float(f(jnp.asarray(d2))) - float(f(jnp.asarray(d1)))) / (2 * eps)
+        assert abs(float(g[0, i, j]) - fd) < 5e-2, (i, j, op)
