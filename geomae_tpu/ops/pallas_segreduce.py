@@ -197,7 +197,7 @@ def _reduce_forward(x, seg_ids, num_segments, is_max, chunk, exact=True):
             pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((rows, Cp), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -376,7 +376,7 @@ def slot_outer_segment_sum_pallas(vals, slot, seg_ids, num_slots: int,
             pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((rows, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -668,7 +668,7 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
         in_specs=[
             pl.BlockSpec((1, chunk, 2), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, chunk, Cp), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
