@@ -119,5 +119,118 @@ def main():
             train=False))
 
 
+def main_grad():
+    """``--grad``: backward-tail bisection.  Times full ``value_and_grad``
+    of a params-only model loss at varying (enc, dec) depths — the deltas
+    attribute fwd+bwd cost per stack — plus isolated permute / LayerNorm /
+    attention chains at decoder scale (the candidates for the non-attention
+    backward long tail)."""
+    cfg = geomae_pretrain_nus()
+    cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
+                                       max_visible=8192))
+    B = 4
+    rng = np.random.default_rng(0)
+    batch = realistic_batch(rng, cfg, B)
+    pts, pv = batch["points"], batch["point_valid"]
+
+    null = jax.jit(lambda x: x + 1.0)
+    float(null(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(8):
+        float(null(jnp.float32(i)))
+    floor = (time.perf_counter() - t0) / 8
+    print(f"floor {floor * 1000:.1f} ms", flush=True)
+
+    def bench(name, fn, n=4):
+        f = jax.jit(fn)
+        tc = time.perf_counter()
+        float(f(jnp.float32(0)))
+        comp = time.perf_counter() - tc
+        # warmup artifact: first timed call can be 10-400x steady state
+        float(f(jnp.float32(0.5)))
+        t0 = time.perf_counter()
+        for i in range(1, n + 1):
+            float(f(jnp.float32(i)))
+        dt = (time.perf_counter() - t0) / n - floor
+        print(f"{name:30s} {dt * 1000:8.1f} ms  (compile {comp:.0f}s)",
+              flush=True)
+
+    scene = jax.jit(lambda p, v: build_scene_batch(
+        p, v, cfg.voxel, cfg.caps.max_voxels))(pts, pv)
+    keep = sample_mask(jax.random.PRNGKey(0), scene.table.valid, 0.7)
+    eps = 1e-5
+
+    from geomae_tpu.config import MAEConfig
+    for name, enc, dec in [("grad enc0 dec0", 0, 0),
+                           ("grad enc12 dec0", 12, 0),
+                           ("grad enc0 dec4", 0, 4),
+                           ("grad full model", 12, 4)]:
+        c2 = replace(cfg, mae=replace(
+            cfg.mae, encoder_blocks=enc, decoder_blocks=dec))
+        st2, _ = init_state(c2, B, jax.random.PRNGKey(0))
+        m2 = GeoMAE(c2)
+
+        def loss(p, i, _m=m2, _bs=st2.batch_stats):
+            preds, _ = _m.apply(
+                {"params": p, "batch_stats": _bs},
+                scene._replace(points=scene.points + i * eps), keep,
+                train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                       for l in jax.tree_util.tree_leaves(preds))
+
+        bench(name, lambda i, _l=loss, _p=st2.params: sum(
+            jnp.sum(g.astype(jnp.float32) ** 2)
+            for g in jax.tree_util.tree_leaves(jax.grad(_l)(_p, i))), n=3)
+
+    # isolated chains at decoder scale [2B, 20480, 128]
+    V, C = cfg.caps.max_voxels, cfg.sst.d_model
+    key = jax.random.PRNGKey(1)
+    xdec = jax.random.normal(key, (2 * B, V, C), jnp.bfloat16)
+    perm = jnp.tile(jnp.argsort(jax.random.uniform(key, (V,)))[None],
+                    (2 * B, 1)).astype(jnp.int32)
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+
+    from geomae_tpu.models.norm import fast_layer_norm
+    from geomae_tpu.models.sst import _permute
+
+    def permute_chain(x):
+        for _ in range(8):
+            x = _permute(x, perm, inv)
+        return jnp.sum(x.astype(jnp.float32))
+
+    bench("8x permute f+b [8,20k,128]", lambda i: sum(
+        jnp.sum(g.astype(jnp.float32) ** 2) for g in
+        jax.tree_util.tree_leaves(jax.grad(permute_chain)(
+            xdec + i.astype(jnp.bfloat16)))), n=3)
+
+    sc = jnp.ones((C,), jnp.float32)
+    bi = jnp.zeros((C,), jnp.float32)
+
+    def ln_chain(x):
+        for _ in range(8):
+            x = fast_layer_norm(x, sc, bi, 1e-5)
+        return jnp.sum(x.astype(jnp.float32))
+
+    bench("8x LN f+b [8,20k,128]", lambda i: sum(
+        jnp.sum(g.astype(jnp.float32) ** 2) for g in
+        jax.tree_util.tree_leaves(jax.grad(ln_chain)(
+            xdec + i.astype(jnp.bfloat16)))), n=3)
+
+    def ffn_chain(x):
+        w1 = jnp.ones((C, 2 * C), jnp.bfloat16) * 0.01
+        w2 = jnp.ones((2 * C, C), jnp.bfloat16) * 0.01
+        for _ in range(8):
+            x = jax.nn.gelu(x @ w1, approximate=False) @ w2
+        return jnp.sum(x.astype(jnp.float32))
+
+    bench("8x FFN f+b [8,20k,128]", lambda i: jnp.sum(
+        jax.grad(ffn_chain)(xdec + i.astype(jnp.bfloat16))
+        .astype(jnp.float32) ** 2), n=3)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--grad" in sys.argv:
+        main_grad()
+    else:
+        main()
