@@ -375,11 +375,17 @@ class GeoMAE(nn.Module):
         # ---- encoder over compacted visible tokens ------------------------
         vis_idx, vis_valid = jax.vmap(
             lambda k: compact_visible(k, vis_cap))(keep)
-        # ascending indices (INT32_MAX suffix) let the compaction gather use
-        # a cumsum-based backward (take_rows_sorted) instead of a scatter
+        # the compaction is an INJECTION (each table row appears at most
+        # once); gather_injective makes both its forward and its backward
+        # pure row gathers — take_rows_sorted's backward instead rode a
+        # sorted-segment sum whose boundary search costs one sort per call
         vis_raw = jnp.where(vis_valid, vis_idx, INT32_MAX)
-        take = lambda x: jax.vmap(scatter.take_rows_sorted)(x, vis_raw)
-        vis_feats = jnp.where(vis_valid[..., None], take(voxel_feats), 0)
+        vis_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        ok = keep & (vis_rank < vis_cap)
+        rank_m = jnp.where(ok, vis_rank, INT32_MAX)       # inverse map
+        take = lambda x: jax.vmap(scatter.gather_injective)(
+            x, vis_raw, rank_m)
+        vis_feats = take(voxel_feats)          # sentinel rows read 0
         vis_coords = take(table.coords)
 
         enc_layouts = make_layouts(vis_coords, vis_valid, cfg.sst, cfg.voxel)
@@ -393,13 +399,9 @@ class GeoMAE(nn.Module):
         x = SSTStack(cfg.sst, cfg.mae.encoder_blocks, dtype,
                      name="encoder")(x, enc_data)
 
-        # gather encoder outputs back to table rows (scatter-free: each row
-        # looks up its position in the visible list via the keep prefix-sum)
-        vis_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-        ok = keep & (vis_rank < vis_cap)
-        enc_full = jax.vmap(scatter.take_rows_sorted)(
-            x, jnp.clip(vis_rank, 0, vis_cap - 1))
-        enc_full = jnp.where(ok[..., None], enc_full, 0)
+        # expand encoder outputs back to table rows: the inverse injection
+        # (masked rows read the sentinel -> 0; backward gathers by vis_raw)
+        enc_full = jax.vmap(scatter.gather_injective)(x, rank_m, vis_raw)
 
         # ---- decoder over all (visible ∪ masked) pillars -------------------
         mask_token = self.param("mask_token",

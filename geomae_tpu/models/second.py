@@ -27,25 +27,26 @@ def recover_bev(voxel_feats: jnp.ndarray, coords: jnp.ndarray,
                 valid: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
     """[B, V, C] + (y, x) coords -> [B, ny, nx, C] canvas (zeros elsewhere).
 
-    Matches ``recover_bev`` (reference ``:230-266``), formulated as a
-    per-cell GATHER through the key-sorted pillar table (binary search +
-    row gather) — XLA scatters sort on TPU and cost ~10x more.
+    Matches ``recover_bev`` (reference ``:230-266``).  Pillar rows are
+    canonically key-sorted and unique, so ONE ascending-unique scatter-set
+    fills the canvas (the sorted+unique hints keep XLA's TPU lowering off
+    its general sort path, as measured for the dense target-table build,
+    ``models/mae.py``) and its autodiff backward is a plain row gather —
+    the previous binary-search-gather formulation instead paid a
+    ``searchsorted(method='sort')`` sort of [ny*nx + V] queries in the
+    forward and a sort-lowered scatter-add in the backward.
     """
-    from ..ops.voxelize import lookup_rows
-
     B, V, C = voxel_feats.shape
-    cell_y, cell_x = jnp.divmod(jnp.arange(ny * nx, dtype=jnp.int32), nx)
-    cell_keys = (cell_y * nx + cell_x)
+    key = jnp.where(valid, coords[..., 0] * nx + coords[..., 1],
+                    ny * nx)                       # sentinel -> trash row
 
-    def one(feats, cd, ok):
-        rows = lookup_rows(cd, ok, ny, nx, cell_keys,
-                           jnp.ones_like(cell_keys, bool))
-        hit = rows < V
-        out = feats[jnp.minimum(rows, V - 1)]
-        out = jnp.where(hit[:, None], out, 0)
-        return out.reshape(ny, nx, C)
+    def one(feats, k):
+        canvas = jnp.zeros((ny * nx + 1, C), feats.dtype)
+        canvas = canvas.at[k].set(feats, mode="drop", unique_indices=True,
+                                  indices_are_sorted=True)
+        return canvas[:-1].reshape(ny, nx, C)
 
-    return jax.vmap(one)(voxel_feats, coords, valid)
+    return jax.vmap(one)(voxel_feats, key)
 
 
 class ConvBNReLU(nn.Module):

@@ -251,6 +251,38 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
 
 
 @jax.custom_vjp
+def gather_injective(x: jnp.ndarray, idx: jnp.ndarray,
+                     inv_idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``x[idx]`` (out-of-range -> 0) whose BACKWARD is the
+    inverse gather ``g[inv_idx]``.
+
+    Valid when the in-range entries of ``idx`` are UNIQUE (an injection —
+    compaction lists, expansion maps, permutations) and ``inv_idx`` is
+    the inverse map: ``inv_idx[idx[s]] == s`` for every in-range
+    ``idx[s]``, and rows of ``x`` never hit by ``idx`` hold out-of-range
+    ``inv_idx`` entries.  The transpose of an injective gather is itself
+    a gather, so neither direction emits a TPU scatter (XLA lowers those
+    to a sort) nor a sorted-segment-sum boundary search (one extra sort
+    per call via ``searchsorted(method='sort')``) — the pattern
+    ``take_rows_sorted`` would use.
+    """
+    return gather_rows(x, idx)
+
+
+def _gi_fwd(x, idx, inv_idx):
+    # zero-size carrier keeps the primal dtype as a JAX-type residual
+    return gather_rows(x, idx), (inv_idx, jnp.zeros((0,), x.dtype))
+
+
+def _gi_bwd(res, g):
+    inv_idx, carrier = res
+    return gather_rows(g, inv_idx).astype(carrier.dtype), None, None
+
+
+gather_injective.defvjp(_gi_fwd, _gi_bwd)
+
+
+@jax.custom_vjp
 def take_rows_sorted(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather ``table[idx]`` for ASCENDING ``idx`` (out-of-range -> 0).
 

@@ -96,3 +96,51 @@ def test_gather_rows_fill():
     np.testing.assert_array_equal(out[2], [9, 9, 9])
     np.testing.assert_array_equal(out[3], [9, 9, 9])
     np.testing.assert_array_equal(out[4], [6, 7, 8])
+
+
+def test_gather_injective_matches_take_rows(rng):
+    """Forward == take_rows_sorted; backward == its (masked) transpose."""
+    import jax
+    from geomae_tpu.ops.scatter import gather_injective, take_rows_sorted
+
+    V, S, C = 64, 24, 5
+    INT32_MAX = np.iinfo(np.int32).max
+    keep = rng.uniform(size=V) < 0.4
+    rows = np.where(keep)[0].astype(np.int32)[:S]
+    idx = np.full(S, INT32_MAX, np.int32)
+    idx[:rows.size] = rows
+    inv = np.full(V, INT32_MAX, np.int32)
+    inv[rows] = np.arange(rows.size, dtype=np.int32)
+    x = rng.normal(size=(V, C)).astype(np.float32)
+
+    got = gather_injective(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(inv))
+    want = take_rows_sorted(jnp.asarray(x), jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    g = rng.normal(size=(S, C)).astype(np.float32)
+
+    def f_new(t):
+        return jnp.sum(gather_injective(
+            t, jnp.asarray(idx), jnp.asarray(inv)) * g)
+
+    def f_ref(t):
+        return jnp.sum(take_rows_sorted(t, jnp.asarray(idx)) * g)
+
+    g_new = jax.grad(f_new)(jnp.asarray(x))
+    g_ref = jax.grad(f_ref)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # expansion direction: gather by the inverse map, backward by idx
+    y = rng.normal(size=(S, C)).astype(np.float32)
+    got_e = gather_injective(jnp.asarray(y), jnp.asarray(inv),
+                             jnp.asarray(idx))
+    want_e = np.zeros((V, C), np.float32)
+    want_e[rows] = y[:rows.size]
+    np.testing.assert_allclose(np.asarray(got_e), want_e)
+    ge = rng.normal(size=(V, C)).astype(np.float32)
+    g_exp = jax.grad(lambda t: jnp.sum(gather_injective(
+        t, jnp.asarray(inv), jnp.asarray(idx)) * ge))(jnp.asarray(y))
+    want_g = np.zeros((S, C), np.float32)
+    want_g[:rows.size] = ge[rows]
+    np.testing.assert_allclose(np.asarray(g_exp), want_g)

@@ -133,3 +133,32 @@ def test_neighbor_rows(rng):
                 assert nbr[i, k] == want
             k += 1
     assert np.all(nbr[valid, 4] == np.arange(V)[valid])
+
+
+def test_build_scene_batch_pallas_rowkeys(rng, monkeypatch):
+    """The sort-free TPU table build (pallas segment-max row keys + dense
+    rank validity) must reproduce the searchsorted path exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geomae_tpu.config import geomae_pretrain_nus
+    cfg = geomae_pretrain_nus().voxel
+    B, P, v_cap = 2, 1024, 256
+    r = cfg.point_cloud_range
+    pts = rng.uniform([r[0], r[1], r[2], 0, 0],
+                      [r[3] - 1e-3, r[4] - 1e-3, r[5] - 1e-3, 1, 0.4],
+                      (B, P, 5)).astype(np.float32)
+    valid = np.ones((B, P), bool)
+    valid[:, -100:] = False
+    ref = vox.build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
+                                cfg, v_cap)
+
+    monkeypatch.setattr(vox, "_pallas_rowkeys", lambda P: True)
+    with pltpu.force_tpu_interpret_mode():
+        got = vox.build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
+                                    cfg, v_cap)
+    np.testing.assert_array_equal(np.asarray(got.table.valid),
+                                  np.asarray(ref.table.valid))
+    np.testing.assert_array_equal(np.asarray(got.table.coords),
+                                  np.asarray(ref.table.coords))
+    np.testing.assert_array_equal(np.asarray(got.table.point2voxel),
+                                  np.asarray(ref.table.point2voxel))
