@@ -257,10 +257,13 @@ def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,
     inv_freq = sst.pos_temperature ** (2 * (i // 2) / pos_length)
     ex = x[..., None] / inv_freq
     ey = y[..., None] / inv_freq
-    # interleave: stack([sin(even), cos(odd)], -1).flatten == the reference's
-    # torch.stack([e[:, ::2].sin(), e[:, 1::2].cos()], -1).flatten(1)
+    # interleave: the reference's torch.stack([e[:, ::2].sin(),
+    # e[:, 1::2].cos()], -1).flatten(1) puts sin(e_j) at even j and
+    # cos(e_j) at odd j — an ELEMENTWISE parity select (bit-identical
+    # floats), with no strided lane slices / stack / reshape (each strided
+    # slice lowers to a gather-style relayout on TPU)
+    even = (jnp.arange(pos_length, dtype=jnp.int32) % 2) == 0
+
     def _mix(e):
-        s = jnp.sin(e[..., 0::2])
-        c = jnp.cos(e[..., 1::2])
-        return jnp.stack([s, c], axis=-1).reshape(e.shape[:-1] + (pos_length,))
+        return jnp.where(even, jnp.sin(e), jnp.cos(e))
     return jnp.concatenate([_mix(ex), _mix(ey)], axis=-1).astype(dtype)
