@@ -60,25 +60,34 @@ def census(fn, *args):
 
 
 def main():
-    from geomae_tpu.config import CapsConfig, geomae_pretrain_nus, replace
-    from geomae_tpu.train.pretrain import (dummy_batch, init_state,
-                                           make_train_step)
+    from geomae_tpu.config import CapsConfig, replace
 
-    cfg = geomae_pretrain_nus()
-    cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
-                                       max_visible=8192))
     B = 4
-    state, tx = init_state(cfg, B, jax.random.PRNGKey(0))
+    if "--finetune" in sys.argv:
+        import jax.numpy as jnp
+        from geomae_tpu.config import geomae_finetune_nus
+        from geomae_tpu.train import finetune as ft
 
-    # patch AFTER init (init executes a jit; tracing alone never lowers)
-    import geomae_tpu.models.sst as sstm
-    import geomae_tpu.ops.pallas_segreduce as psr
-    sstm._is_tpu_backend = lambda: True
-    psr._on_tpu = lambda: True
-
-    step = make_train_step(cfg, tx)
-    batch = dummy_batch(cfg, B)
-    cnt, locs = census(step, state, batch, jax.random.PRNGKey(1))
+        cfg = geomae_finetune_nus()
+        cfg = replace(cfg, caps=CapsConfig(max_points=262144,
+                                           max_voxels=20480,
+                                           max_visible=8192))
+        state, tx = ft.init_state(cfg, B, jax.random.PRNGKey(0))
+        import geomae_tpu.models.sst as sstm
+        import geomae_tpu.ops.pallas_segreduce as psr
+        sstm._is_tpu_backend = lambda: True
+        psr._on_tpu = lambda: True
+        from geomae_tpu.train.pretrain import dummy_batch
+        batch = dummy_batch(cfg, B)
+        G = cfg.max_gt_boxes
+        batch.update(
+            gt_boxes=jnp.zeros((B, G, 9), jnp.float32),
+            gt_labels=jnp.zeros((B, G), jnp.int32),
+            gt_mask=jnp.arange(G)[None].repeat(B, 0) < 16)
+        step = ft.make_train_step(cfg, tx)
+        cnt, locs = census(step, state, batch)
+    else:
+        cnt, locs = _census_pretrain(B)
 
     if "--all" in sys.argv:
         for k, v in sorted(cnt.items(), key=lambda t: -t[1]):
@@ -90,6 +99,27 @@ def main():
         print(f"== {p}")
         for loc, n in locs[p].most_common(20):
             print(f"  {loc:40s} {n}")
+
+
+def _census_pretrain(B):
+    from geomae_tpu.config import CapsConfig, geomae_pretrain_nus, replace
+    from geomae_tpu.train.pretrain import (dummy_batch, init_state,
+                                           make_train_step)
+
+    cfg = geomae_pretrain_nus()
+    cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
+                                       max_visible=8192))
+    state, tx = init_state(cfg, B, jax.random.PRNGKey(0))
+
+    # patch AFTER init (init executes a jit; tracing alone never lowers)
+    import geomae_tpu.models.sst as sstm
+    import geomae_tpu.ops.pallas_segreduce as psr
+    sstm._is_tpu_backend = lambda: True
+    psr._on_tpu = lambda: True
+
+    step = make_train_step(cfg, tx)
+    batch = dummy_batch(cfg, B)
+    return census(step, state, batch, jax.random.PRNGKey(1))
 
 
 if __name__ == "__main__":
