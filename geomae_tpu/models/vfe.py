@@ -77,9 +77,19 @@ def _mean_bcast_b(data, seg, num, valid):
     return jax.vmap(one)(data, seg, valid)
 
 
+def _pallas_max_dtype_ok(dtype) -> bool:
+    """Pallas max kernels only for bf16 payloads: they route values
+    through MXU dots whose f32 operands truncate to bf16, so f32 maxima
+    come back inexact on real hardware — silently breaking the
+    argmax-equality VJP (interpret-mode tests compute exact f32 and
+    cannot catch it).  bf16-born payloads are bit-exact through the same
+    dots.  Tests monkeypatch this under interpret mode."""
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
 def _max_bcast_b(data, seg, num, valid):
     """Per-point segment-max broadcast; invalid/empty rows return 0."""
-    if _use_pallas(data.shape[1]):
+    if _use_pallas(data.shape[1]) and _pallas_max_dtype_ok(data.dtype):
         from ..ops.pallas_segreduce import segment_broadcast_pallas
         neutral = jnp.asarray(-3.0e38, data.dtype)
         d = jnp.where(valid[..., None], data, neutral)
@@ -116,8 +126,11 @@ def _seg_mean_b(data, seg, num, valid, row_valid):
 def _seg_max_b(data, seg, num, valid, row_valid):
     """Batched masked segment max; empty/garbage rows become 0 like
     ``ops.scatter.segment_max(empty_value=0)`` so the gather-back concat
-    never feeds non-finite values into the next Dense layer."""
-    if _use_pallas(data.shape[1]):
+    never feeds non-finite values into the next Dense layer.
+
+    bf16-only on the Pallas route (:func:`_pallas_max_dtype_ok`); f32
+    payloads take the exact scan path."""
+    if _use_pallas(data.shape[1]) and _pallas_max_dtype_ok(data.dtype):
         from ..ops.pallas_segreduce import segment_reduce_pallas
         neutral = jnp.asarray(-3.0e38, data.dtype)
         d = jnp.where(valid[..., None], data, neutral)

@@ -33,6 +33,9 @@ def test_vfe_pallas_matches_scan(rng, monkeypatch):
     ref = vfe.apply(variables, scene, train=False)
 
     monkeypatch.setattr(vfe_mod, "_use_pallas", lambda P: True)
+    # interpret mode computes exact f32, so the bf16-only max gate
+    # (real-MXU truncation) is lifted to keep the pallas path covered
+    monkeypatch.setattr(vfe_mod, "_pallas_max_dtype_ok", lambda d: True)
     with pltpu.force_tpu_interpret_mode():
         got = vfe.apply(variables, scene, train=False)
 
@@ -56,6 +59,8 @@ def test_vfe_pallas_train_stats_and_grad(rng, monkeypatch):
     def loss(p, pallas):
         if pallas:
             monkeypatch.setattr(vfe_mod, "_use_pallas", lambda P: True)
+            monkeypatch.setattr(vfe_mod, "_pallas_max_dtype_ok",
+                                lambda d: True)
         else:
             monkeypatch.setattr(vfe_mod, "_use_pallas", lambda P: False)
         out, _ = vfe.apply({"params": p, "batch_stats": bstats}, scene,
