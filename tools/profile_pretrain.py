@@ -53,6 +53,9 @@ def main():
     def bench(name, fn, n=4):
         f = jax.jit(lambda i: scalarize(fn(i)))
         float(f(jnp.float32(0)))
+        # second warmup: the FIRST timed call of a freshly-compiled program
+        # can measure 10-400x its steady state through the relay
+        float(f(jnp.float32(0.5)))
         t0 = time.perf_counter()
         for i in range(1, n + 1):
             float(f(jnp.float32(i)))
