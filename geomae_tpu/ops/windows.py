@@ -87,13 +87,24 @@ def make_layout(coords: jnp.ndarray, valid: jnp.ndarray,
 
 def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
                  voxel: VoxelConfig) -> Tuple[WindowLayout, ...]:
-    """All shifts, batched: coords [B, V, 2], valid [B, V]."""
-    outs = []
+    """All shifts, batched: coords [B, V, 2], valid [B, V].
+
+    The shifts ride a stacked leading axis through ONE pair of batched
+    argsorts ([S*B, V] instead of S separate [B, V] sort launches)."""
+    wins, ciws = [], []
     for shift in sst.shifts:
-        outs.append(jax.vmap(
-            lambda c, m, s=shift: make_layout(c, m, s, sst, voxel)
-        )(coords, valid))
-    return tuple(outs)
+        w, c = jax.vmap(lambda cc, mm, s=shift: window_ids(
+            cc, mm, s, sst, voxel))(coords, valid)
+        wins.append(w)
+        ciws.append(c)
+    win_all = jnp.stack(wins)                       # [S, B, V]
+    perm_all = jnp.argsort(win_all, axis=-1, stable=True).astype(jnp.int32)
+    inv_all = jnp.argsort(perm_all, axis=-1).astype(jnp.int32)
+    win_sorted = jnp.take_along_axis(win_all, perm_all, axis=-1)
+    return tuple(
+        WindowLayout(perm=perm_all[s], inv_perm=inv_all[s],
+                     win_id=win_sorted[s], coors_in_win=ciws[s])
+        for s in range(len(sst.shifts)))
 
 
 # ---------------------------------------------------------------------------
