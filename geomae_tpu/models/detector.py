@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..config import FinetuneConfig
 from ..ops.voxelize import Scene, build_scene_batch
-from ..ops.windows import make_layouts, positional_embedding, window_ids
+from ..ops.windows import make_layouts
 from .anchor_head import Anchor3DHead, HeadOutputs
 from .second import SECONDFPN, SECONDStages, recover_bev
 from .sst import SSTStack, prepare_shift_data
@@ -39,12 +39,7 @@ class DynamicVoxelNet(nn.Module):
                                   name="voxel_encoder")(scene, train)
 
         layouts = make_layouts(table.coords, table.valid, cfg.sst, cfg.voxel)
-        pos = []
-        for s in cfg.sst.shifts:
-            ciw = jax.vmap(lambda c, m, ss=s: window_ids(
-                c, m, ss, cfg.sst, cfg.voxel)[1])(table.coords, table.valid)
-            pos.append(positional_embedding(ciw, cfg.sst))
-        shift_data = prepare_shift_data(layouts, pos, table.valid,
+        shift_data = prepare_shift_data(layouts, None, table.valid,
                                         cfg.sst, cfg.voxel)
 
         x = feats.astype(dtype)

@@ -40,7 +40,7 @@ from ..config import PretrainConfig
 from ..ops import scatter
 from ..ops.eig3 import normal_and_curvature
 from ..ops.voxelize import Scene
-from ..ops.windows import make_layouts, positional_embedding, window_ids
+from ..ops.windows import make_layouts
 from .sst import SSTStack, SSTStackPair, prepare_shift_data
 from .vfe import DynamicScatterVFE
 
@@ -389,11 +389,7 @@ class GeoMAE(nn.Module):
         vis_coords = take(table.coords)
 
         enc_layouts = make_layouts(vis_coords, vis_valid, cfg.sst, cfg.voxel)
-        enc_pos = [positional_embedding(
-            jax.vmap(lambda c, m, ss=s: window_ids(
-                c, m, ss, cfg.sst, cfg.voxel)[1])(vis_coords, vis_valid),
-            cfg.sst) for s in cfg.sst.shifts]
-        enc_data = prepare_shift_data(enc_layouts, enc_pos, vis_valid,
+        enc_data = prepare_shift_data(enc_layouts, None, vis_valid,
                                       cfg.sst, cfg.voxel)
         x = vis_feats.astype(dtype)
         x = SSTStack(cfg.sst, cfg.mae.encoder_blocks, dtype,
@@ -412,12 +408,7 @@ class GeoMAE(nn.Module):
 
         dec_layouts = make_layouts(table.coords, table.valid, cfg.sst,
                                    cfg.voxel)
-        dec_pos = []
-        for s in cfg.sst.shifts:
-            ciw = jax.vmap(lambda c, m, ss=s: window_ids(
-                c, m, ss, cfg.sst, cfg.voxel)[1])(table.coords, table.valid)
-            dec_pos.append(positional_embedding(ciw, cfg.sst))
-        dec_data = prepare_shift_data(dec_layouts, dec_pos, table.valid,
+        dec_data = prepare_shift_data(dec_layouts, None, table.valid,
                                       cfg.sst, cfg.voxel)
 
         # the two parameter-independent decoder branches (reference

@@ -62,7 +62,10 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
 
     Args:
       layouts: per-shift batched WindowLayouts.
-      pos_embeds: per-shift [B, V, C] in row order.
+      pos_embeds: per-shift [B, V, C] in row order, or None — then the
+        embedding is computed AFTER sorting from each layout's 2-channel
+        ``coors_in_win`` (requires ``sst``); permuting 2 coord channels
+        and embedding elementwise beats permuting 128 embedded channels.
       key_valid: [B, V] bool in row order (valid & visible tokens).
     Returns dict(layers=[per-shift dicts], entry=(perm, inv),
     cross=[per-layer (perm, inv) or None]).
@@ -74,11 +77,17 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
                  and sst.attention_impl == "bin")
     if want_bins:
         return _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel)
+    from ..ops.windows import positional_embedding
     layers = []
-    for lay, pos in zip(layouts, pos_embeds):
+    for s_i, lay in enumerate(layouts):
+        if pos_embeds is None:
+            pos_sorted = positional_embedding(
+                _take(lay.coors_in_win, lay.perm), sst)
+        else:
+            pos_sorted = _take(pos_embeds[s_i], lay.perm)
         layers.append(dict(
             win_id=lay.win_id,
-            pos_sorted=_take(pos, lay.perm),
+            pos_sorted=pos_sorted,
             key_valid_sorted=_take(key_valid, lay.perm),
         ))
     n = len(layers)
@@ -109,11 +118,11 @@ def _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel):
     ``_permute`` machinery moves them (real rows round-trip exactly; pad
     rows carry garbage that attention masks by construction and the exit
     gather never reads)."""
-    from ..ops.windows import bin_pack_batch
+    from ..ops.windows import bin_pack_batch, positional_embedding
 
     V = key_valid.shape[-1]
     maps, layers = [], []
-    for lay, pos in zip(layouts, pos_embeds):
+    for s_i, lay in enumerate(layouts):
         to_pos, to_sorted, rel, bstart, blen, nb = bin_pack_batch(
             lay.win_id, sst, voxel)
         src = _take(lay.perm, jnp.clip(to_sorted, 0, V - 1))
@@ -122,8 +131,13 @@ def _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel):
         maps.append((src, posrow))
         win_p = _take(lay.win_id, jnp.clip(to_sorted, 0, V - 1))
         win_p = jnp.where(to_sorted == INT32_MAX, INT32_MAX, win_p)
+        if pos_embeds is None:
+            pos_p = positional_embedding(
+                _take(lay.coors_in_win, jnp.clip(src, 0, V - 1)), sst)
+        else:
+            pos_p = _take(pos_embeds[s_i], jnp.clip(src, 0, V - 1))
         layers.append(dict(
-            pos_sorted=_take(pos, jnp.clip(src, 0, V - 1)),
+            pos_sorted=pos_p,
             win_id=win_p,
             key_valid_sorted=win_p != INT32_MAX,
             rel=rel, bin_start=bstart, bin_len=blen, n_bins=nb))
