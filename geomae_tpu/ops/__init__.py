@@ -1,1 +1,2 @@
-from . import attention, eig3, scatter, voxelize, windows  # noqa: F401
+from . import (attention, eig3, k_medoids, pointnet_ops, scatter,  # noqa: F401
+               voxelize, windows)
