@@ -117,6 +117,9 @@ class SSTConfig:
     activation: str = "gelu"
     # "auto": Pallas fused kernel on TPU, einsum elsewhere
     attention_impl: str = "auto"      # "auto"|"bin"|"pallas"|"einsum"
+    # fused out-proj+LN1+FFN+LN2 block (ops/pallas_ffn.py): "auto" uses it
+    # on TPU (gelu configs, 128-aligned shapes), "xla" keeps separate ops
+    ffn_impl: str = "auto"            # "auto"|"fused"|"xla"
     # rematerialize whole SST blocks in backward (torch checkpoint_blocks
     # analogue).  With the fused Pallas attention backward, activations are
     # small enough that remat=False trades ~1 forward of recompute for HBM.

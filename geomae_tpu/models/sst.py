@@ -184,14 +184,71 @@ def _select_attention(impl: str, layer_data: dict | None = None):
     return None
 
 
+def _use_fused_ffn(cfg: SSTConfig, V: int, C: int) -> bool:
+    """Fused post-attention block gate: gelu only, 128-aligned shapes;
+    "auto" resolves to the TPU backend (interpret mode drives CPU tests
+    via ``ffn_impl="fused"``)."""
+    if cfg.ffn_impl == "xla" or cfg.activation != "gelu":
+        return False
+    if C % 128 != 0 or V % 128 != 0:
+        return False
+    return cfg.ffn_impl == "fused" or _is_tpu_backend()
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible params (kernel/bias) without applying
+    them — the fused block consumes weights directly."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _GroupedDenseParams(nn.Module):
+    groups: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (self.groups, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.groups, self.features))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    features: int
+    groups: int = 0      # 0: ungrouped [C]; else [G, C]
+
+    @nn.compact
+    def __call__(self):
+        shape = ((self.groups, self.features) if self.groups
+                 else (self.features,))
+        return (self.param("scale", nn.initializers.ones, shape),
+                self.param("bias", nn.initializers.zeros, shape))
+
+
 class WindowMHA(nn.Module):
     """Multi-head attention with torch ``nn.MultiheadAttention`` param
-    layout (fused qkv projection + out projection)."""
+    layout (fused qkv projection + out projection).
+
+    With ``fuse_ffn`` the out-projection params are declared (same tree
+    path) but NOT applied; the raw attention output and (Wo, bo) are
+    returned for the fused post-attention block."""
 
     d_model: int
     nhead: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
@@ -237,6 +294,9 @@ class WindowMHA(nn.Module):
             out = band_attention(q, k, v, layer_data["win_id"],
                                  key_valid=layer_data["key_valid_sorted"])
         out = out.reshape(B, V, C)
+        if self.fuse_ffn:
+            wo, bo = _DenseParams(C, C, name="out_proj")()
+            return out, (wo, bo)
         return nn.Dense(C, dtype=self.dtype, name="out_proj",
                         kernel_init=nn.initializers.xavier_uniform())(out)
 
@@ -252,8 +312,22 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
         c = self.cfg
+        B, V, C = x.shape
+        fused = _use_fused_ffn(c, V, C)
         a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
-                      name="win_attn")(x, layer_data)
+                      fuse_ffn=fused, name="win_attn")(x, layer_data)
+        if fused:
+            raw, (wo, bo) = a
+            s1, t1 = _LNParams(C, name="norm1")()
+            w1, b1 = _DenseParams(C, c.dim_feedforward, name="linear1")()
+            w2, b2 = _DenseParams(c.dim_feedforward, C, name="linear2")()
+            s2, t2 = _LNParams(C, name="norm2")()
+            from ..ops.pallas_ffn import post_attention_block
+            tile = 256 if V % 256 == 0 else 128
+            g = lambda p: p[None]
+            return post_attention_block(
+                x, raw, g(wo), g(bo), g(s1), g(t1), g(w1), g(b1), g(w2),
+                g(b2), g(s2), g(t2), 1e-5, tile, not _is_tpu_backend())
         # custom-VJP LayerNorm: f32 statistics, compute-dtype residual
         # stream, compact backward residuals (models/norm.py)
         x = FastLayerNorm(epsilon=1e-5, name="norm1")(x + a)
@@ -354,6 +428,7 @@ class GroupedWindowMHA(nn.Module):
     nhead: int
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    fuse_ffn: bool = False
 
     @nn.compact
     def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
@@ -384,6 +459,9 @@ class GroupedWindowMHA(nn.Module):
         else:
             out = band_attention(q, k, v, layer_data["win_id"],
                                  key_valid=layer_data["key_valid_sorted"])
+        if self.fuse_ffn:
+            wo, bo = _GroupedDenseParams(G, C, C, name="out_proj")()
+            return out.reshape(GB, V, C), (wo, bo)
         return dense("out_proj")(out.reshape(GB, V, C))
 
 
@@ -396,8 +474,24 @@ class GroupedEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
         c = self.cfg
         G = self.groups
+        GB, V, C = x.shape
+        fused = _use_fused_ffn(c, V, C)
         a = GroupedWindowMHA(G, c.d_model, c.nhead, self.dtype,
-                             c.attention_impl, name="win_attn")(x, layer_data)
+                             c.attention_impl, fuse_ffn=fused,
+                             name="win_attn")(x, layer_data)
+        if fused:
+            raw, (wo, bo) = a
+            s1, t1 = _LNParams(C, groups=G, name="norm1")()
+            w1, b1 = _GroupedDenseParams(G, C, c.dim_feedforward,
+                                         name="linear1")()
+            w2, b2 = _GroupedDenseParams(G, c.dim_feedforward, C,
+                                         name="linear2")()
+            s2, t2 = _LNParams(C, groups=G, name="norm2")()
+            from ..ops.pallas_ffn import post_attention_block
+            tile = 256 if V % 256 == 0 else 128
+            return post_attention_block(
+                x, raw, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2,
+                1e-5, tile, not _is_tpu_backend())
         x = GroupedLayerNorm(G, epsilon=1e-5, name="norm1")(x + a)
         act = ((lambda t: nn.gelu(t, approximate=False))
                if c.activation == "gelu" else nn.relu)
