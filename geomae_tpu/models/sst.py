@@ -169,15 +169,19 @@ def _is_tpu_backend() -> bool:
 
 
 def _select_attention(impl: str, layer_data: dict | None = None):
-    """Pick the attention backend: "bin" (bin-packed kernels, default on
-    TPU when the layout carries bin data), "pallas" (band kernels), or
-    None (the einsum path)."""
+    """Pick the attention backend: "qkv" (band kernels with in-kernel
+    q/k/v projections — opt-in pending TPU measurement), "bin"
+    (bin-packed kernels), "pallas" (band kernels, projections in XLA;
+    what "auto" resolves to on TPU), or None (einsum)."""
     if impl == "einsum":
         return None
     has_bins = layer_data is not None and "rel" in layer_data
     if impl == "bin" and has_bins:
         from ..ops.pallas_binattn import bin_attention
         return "bin", bin_attention
+    if impl == "qkv":
+        from ..ops.pallas_attention_qkv import band_attention_qkv
+        return "qkv", band_attention_qkv
     if impl in ("pallas", "bin") or (impl == "auto" and _is_tpu_backend()):
         from ..ops.pallas_attention import band_attention_pallas
         return "band", band_attention_pallas
@@ -258,6 +262,29 @@ class WindowMHA(nn.Module):
         H = self.nhead
         D = C // H
         pos = layer_data["pos_sorted"].astype(x_s.dtype)
+        fused = _select_attention(self.attention_impl, layer_data)
+        # Mosaic tiling: needs 128-lane channel dim (+ whole tiles: band)
+        if fused is not None and (C % 128 != 0 or
+                                  (fused[0] in ("band", "qkv")
+                                   and V % 128 != 0)):
+            fused = None
+        if fused is not None and fused[0] == "qkv":
+            from ..ops.pallas_attention import DEFAULT_PAD
+            # in-kernel projections: declare Dense-compatible params only
+            dp = lambda name: _DenseParams(C, C, name=name)()
+            wq, bq = dp("q_proj")
+            wk, bk = dp("k_proj")
+            wv, bv = dp("v_proj")
+            tile = 256 if V % 256 == 0 else 128
+            out = fused[1](x_s, pos, wq[None], bq[None], wk[None], bk[None],
+                           wv[None], bv[None], layer_data["win_id"],
+                           layer_data["key_valid_sorted"], H, tile,
+                           DEFAULT_PAD, not _is_tpu_backend())
+            if self.fuse_ffn:
+                wo, bo = _DenseParams(C, C, name="out_proj")()
+                return out, (wo, bo)
+            return nn.Dense(C, dtype=self.dtype, name="out_proj",
+                            kernel_init=nn.initializers.xavier_uniform())(out)
         qk_in = x_s + pos
 
         # torch fuses q,k,v into one in_proj; we keep three kernels (same
@@ -272,11 +299,6 @@ class WindowMHA(nn.Module):
         q = q.reshape(B, V, H, D)
         k = k.reshape(B, V, H, D)
         v = v.reshape(B, V, H, D)
-        fused = _select_attention(self.attention_impl, layer_data)
-        # Mosaic tiling: needs 128-lane channel dim (+ whole tiles: band)
-        if fused is not None and (C % 128 != 0 or
-                                  (fused[0] == "band" and V % 128 != 0)):
-            fused = None
         if fused is not None and fused[0] == "bin":
             # interpret mode off-TPU: lets CPU tests drive this path
             from ..ops.windows import BIN_TILE
@@ -437,15 +459,32 @@ class GroupedWindowMHA(nn.Module):
         D = C // H
         G = self.groups
         pos = layer_data["pos_sorted"].astype(x_s.dtype)
+        fused = _select_attention(self.attention_impl, layer_data)
+        if fused is not None and (C % 128 != 0 or
+                                  (fused[0] in ("band", "qkv")
+                                   and V % 128 != 0)):
+            fused = None
+        if fused is not None and fused[0] == "qkv":
+            from ..ops.pallas_attention import DEFAULT_PAD
+            # tokens are group-major [G*B, V, C]; weights ride [G, C, C]
+            gp = lambda name: _GroupedDenseParams(G, C, C, name=name)()
+            wq, bq = gp("q_proj")
+            wk, bk = gp("k_proj")
+            wv, bv = gp("v_proj")
+            tile = 256 if V % 256 == 0 else 128
+            out = fused[1](x_s, pos, wq, bq, wk, bk, wv, bv,
+                           layer_data["win_id"],
+                           layer_data["key_valid_sorted"], H, tile,
+                           DEFAULT_PAD, not _is_tpu_backend())
+            if self.fuse_ffn:
+                wo, bo = _GroupedDenseParams(G, C, C, name="out_proj")()
+                return out, (wo, bo)
+            return GroupedDense(G, C, self.dtype, name="out_proj")(out)
         qk_in = x_s + pos
         dense = lambda name: GroupedDense(G, C, self.dtype, name=name)
         q = dense("q_proj")(qk_in).reshape(GB, V, H, D)
         k = dense("k_proj")(qk_in).reshape(GB, V, H, D)
         v = dense("v_proj")(x_s).reshape(GB, V, H, D)
-        fused = _select_attention(self.attention_impl, layer_data)
-        if fused is not None and (C % 128 != 0 or
-                                  (fused[0] == "band" and V % 128 != 0)):
-            fused = None
         if fused is not None and fused[0] == "bin":
             from ..ops.windows import BIN_TILE
             out = fused[1](q, k, v, layer_data["rel"],
