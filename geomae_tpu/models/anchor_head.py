@@ -263,3 +263,66 @@ def predict(out: HeadOutputs, anchors: jnp.ndarray,
                           valid=valid_f)
 
     return jax.vmap(one)(out.cls, out.reg, out.dir)
+
+
+def decode_pre_nms(out: HeadOutputs, anchors: jnp.ndarray,
+                   cfg: AnchorHeadConfig):
+    """Batched top-``nms_pre`` decode WITHOUT NMS — the device half of the
+    weighted-NMS path (reference ``anchor3d_head.py:430-520`` up to the
+    ``box3d_multiclass_wnms`` call).  Returns (boxes [B, k, code_size],
+    scores [B, k, C], dir_scores [B, k])."""
+
+    def one(cls, reg, dirp):
+        C = cfg.num_classes
+        scores = jax.nn.sigmoid(cls.reshape(-1, C).astype(jnp.float32))
+        reg = reg.reshape(-1, cfg.code_size).astype(jnp.float32)
+        dir_score = jnp.argmax(dirp.reshape(-1, 2), axis=-1)
+        k = min(cfg.nms_pre, scores.shape[0])
+        top = jax.lax.top_k(scores.max(-1), k)[1]
+        return (box_coder.decode(reg[top], anchors[top]), scores[top],
+                dir_score[top])
+
+    return jax.vmap(one)(out.cls, out.reg, out.dir)
+
+
+def predict_wnms(boxes, scores, dir_scores, cfg: AnchorHeadConfig,
+                 thr_suppress: float = 0.1, thr_vote: float = 0.7,
+                 use_3d: bool = False) -> Detections:
+    """Host-side weighted-NMS prediction over :func:`decode_pre_nms`
+    outputs (reference wnms_cpu branch, ``anchor3d_head.py:498-551``):
+    per-class wnms merge, then the dir-aware yaw fix on the merged boxes.
+    Returns fixed-size ``Detections`` (padded to ``cfg.max_num``)."""
+    from ..core.wnms import box3d_multiclass_wnms
+
+    boxes = np.asarray(boxes)
+    scores = np.asarray(scores)
+    dir_scores = np.asarray(dir_scores)
+    Bn, _, code = boxes.shape
+    m = cfg.max_num
+    out_b = np.zeros((Bn, m, code), np.float32)
+    out_s = np.full((Bn, m), -1.0, np.float32)
+    out_l = np.zeros((Bn, m), np.int32)
+    out_v = np.zeros((Bn, m), bool)
+    for b in range(Bn):
+        # sigmoid scores get a dummy bg column (use_sigmoid_cls pad)
+        sc = np.concatenate(
+            [scores[b], np.zeros((scores.shape[1], 1), np.float32)], -1)
+        bx, ss, ll, ds = box3d_multiclass_wnms(
+            boxes[b, :, :7], sc, cfg.score_thr, m, thr_suppress, thr_vote,
+            use_3d, dir_scores[b])
+        n = len(ss)
+        if n == 0:
+            continue
+        # dir-aware yaw on merged boxes (anchor3d_head.py:545-549)
+        dir_rot = np.asarray(B.limit_period(
+            jnp.asarray(bx[:, 6]) - cfg.dir_offset, 1, np.pi))
+        yaw = dir_rot + cfg.dir_offset + np.pi * ds.astype(np.float32)
+        full = np.zeros((n, code), np.float32)
+        full[:, :7] = bx
+        full[:, 6] = yaw
+        out_b[b, :n] = full
+        out_s[b, :n] = ss
+        out_l[b, :n] = ll
+        out_v[b, :n] = True
+    return Detections(boxes=jnp.asarray(out_b), scores=jnp.asarray(out_s),
+                      labels=jnp.asarray(out_l), valid=jnp.asarray(out_v))

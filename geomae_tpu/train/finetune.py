@@ -114,15 +114,34 @@ def make_train_step(cfg: FinetuneConfig, tx):
     return train_step
 
 
-def make_predict_fn(cfg: FinetuneConfig):
+def make_predict_fn(cfg: FinetuneConfig, wnms: bool = False):
+    """Jittable prediction fn; with ``wnms`` the decode runs on device and
+    the weighted-NMS merge on host (reference wnms_cpu branch) — the
+    returned fn jits its device half itself, so do NOT wrap it in jit."""
     model = DynamicVoxelNet(cfg)
     anchors = jnp.asarray(grid_anchors(cfg.head, head_featmap_size(cfg)))
 
-    def predict_fn(state: TrainState, batch):
+    def head_out(state: TrainState, batch):
         scene = extract_scene(cfg, batch["points"], batch["point_valid"])
-        out = model.apply(
+        return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             scene, train=False)
+
+    if wnms:
+        if cfg.head_type == "center":
+            raise ValueError("wnms applies to the anchor head only")
+        from ..models.anchor_head import decode_pre_nms, predict_wnms
+
+        decode = jax.jit(
+            lambda s, b: decode_pre_nms(head_out(s, b), anchors, cfg.head))
+
+        def predict_fn(state: TrainState, batch):
+            return predict_wnms(*decode(state, batch), cfg.head)
+
+        return predict_fn
+
+    def predict_fn(state: TrainState, batch):
+        out = head_out(state, batch)
         if cfg.head_type == "center":
             from ..models.center_head import center_head_decode
             return center_head_decode(out, cfg.center_head, cfg.voxel)

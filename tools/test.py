@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--eval", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--wnms", action="store_true",
+                   help="weighted NMS (score-weighted box voting) instead "
+                        "of hard NMS at test time (reference wnms_cpu)")
     p.add_argument("--dataset", default="nuscenes",
                    choices=["nuscenes", "kitti", "waymo"],
                    help="dataset family; kitti scores with the KITTI "
@@ -61,7 +64,8 @@ def main():
     state, _ = FT.init_state(cfg, args.batch_size, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(args.work_dir, "ckpt"))
     state = ckpt.restore(state)
-    predict = jax.jit(FT.make_predict_fn(cfg))
+    predict = (FT.make_predict_fn(cfg, wnms=True) if args.wnms
+               else jax.jit(FT.make_predict_fn(cfg)))
 
     # multi-process eval: each process strides over its share of frames and
     # results are all-gathered afterwards (the reference's multi_gpu_test +
