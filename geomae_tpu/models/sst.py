@@ -196,7 +196,10 @@ def _use_fused_ffn(cfg: SSTConfig, V: int, C: int) -> bool:
         return False
     if C % 128 != 0 or V % 128 != 0:
         return False
-    return cfg.ffn_impl == "fused" or _is_tpu_backend()
+    # "auto" stays on the XLA path until the fused block is MEASURED on
+    # real TPU (it has only run in interpret mode so far); opt in with
+    # ffn_impl="fused" for the A/B.
+    return cfg.ffn_impl == "fused"
 
 
 class _DenseParams(nn.Module):
