@@ -148,6 +148,16 @@ def main():
     cfg = geomae_pretrain_nus()
     cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
                                        max_visible=8192))
+    # kernel A/B hooks (default config when unset)
+    attn = os.environ.get("GEOMAE_ATTN_IMPL")
+    ffn = os.environ.get("GEOMAE_FFN_IMPL")
+    if attn or ffn:
+        sst = cfg.sst
+        if attn:
+            sst = replace(sst, attention_impl=attn)
+        if ffn:
+            sst = replace(sst, ffn_impl=ffn)
+        cfg = replace(cfg, sst=sst)
     rng = np.random.default_rng(0)
     state, tx = init_state(cfg, BATCH, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
