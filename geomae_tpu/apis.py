@@ -41,6 +41,34 @@ class Detector3D:
                     scores=np.asarray(det.scores[0])[m],
                     labels=np.asarray(det.labels[0])[m])
 
+    def aug_test(self, points: np.ndarray,
+                 flips: Tuple[Tuple[bool, bool], ...] = (
+                     (False, False), (True, False), (False, True),
+                     (True, True)),
+                 scales: Tuple[float, ...] = (1.0,)
+                 ) -> Dict[str, np.ndarray]:
+        """Test-time augmentation (reference ``VoxelNet.aug_test``,
+        ``voxelnet.py:119-139``): run the SAME jitted predict once per
+        flipped/scaled view of the cloud, map each view's boxes back, and
+        merge with per-class rotated NMS (``core/aug_merge.py``)."""
+        from .core.aug_merge import merge_aug_bboxes_3d
+
+        results, metas = [], []
+        for s in scales:
+            for fh, fv in flips:
+                pts = np.array(points, np.float32, copy=True)
+                if fh:
+                    pts[:, 1] = -pts[:, 1]
+                if fv:
+                    pts[:, 0] = -pts[:, 0]
+                pts[:, :3] *= s
+                results.append(self(pts))
+                metas.append(dict(pcd_scale_factor=s,
+                                  pcd_horizontal_flip=fh,
+                                  pcd_vertical_flip=fv))
+        return merge_aug_bboxes_3d(
+            results, metas, self.cfg.head.nms_thr, self.cfg.head.max_num)
+
 
 def init_model(ckpt_dir: str, cfg: Optional[C.FinetuneConfig] = None):
     return Detector3D(cfg, ckpt_dir)
