@@ -607,7 +607,7 @@ segment_broadcast_pallas.defvjp(_bcast_fwd, _bcast_bwd)
 
 
 def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
-                   chunk):
+                   chunk, aligned):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -621,12 +621,22 @@ def _gather_kernel(meta_ref, seg_ref, table_hbm, out_ref, tbl, sem, *,
         cp.wait()
 
     seg = seg_ref[0, :, 0:1]                      # [T, 1] f32 ids, sublane
-    seg0 = meta_ref[b, i].astype(jnp.float32)
-    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1) \
+    if aligned:
+        # 16-bit tables: a dynamic sublane offset on a packed (16, 128)
+        # tile must be PROVABLY 8-aligned for Mosaic's vector.load.  meta
+        # carries start//16; multiplying back by 16 is divisibility the
+        # compiler can see, and the one-hot window widens by 16 to cover
+        # the rounding (ids satisfy id - start < chunk by contract).
+        start = meta_ref[b, i] * 16
+        W = chunk + 16
+    else:
+        start = meta_ref[b, i]
+        W = chunk
+    seg0 = start.astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1) \
         .astype(jnp.float32)
     E = ((seg - seg0) == j).astype(tbl.dtype)     # [T, window], natural
-    start = meta_ref[b, i]
-    window = tbl[pl.ds(start, chunk), :]
+    window = tbl[pl.ds(start, W), :]
     out_ref[0] = jax.lax.dot_general(
         E, window, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
@@ -654,14 +664,18 @@ def _gather_forward(table, seg_ids, chunk, exact=True):
     if Cp != Cfull:
         table = jnp.pad(table, ((0, 0), (0, 0), (0, Cp - Cfull)),
                         constant_values=pad_neutral)
-    # one-hot windows reach [start, start + chunk): pad the row axis
-    rows = _rows_pad(S, chunk)
+    aligned = jnp.dtype(table.dtype).itemsize == 2
+    # one-hot windows reach [start, start + chunk) (+16 when aligned):
+    # pad the row axis
+    rows = _rows_pad(S, chunk + (16 if aligned else 0))
     table = jnp.pad(table, ((0, 0), (0, rows - S), (0, 0)))
     seg_f = seg_ids.astype(jnp.float32)
     seg2 = jnp.stack([seg_f, seg_f], axis=-1)   # 2 lanes: proven tiling
     meta = _seg0_meta(seg_ids, S, chunk)
+    if aligned:
+        meta = meta // 16
 
-    kern = functools.partial(_gather_kernel, chunk=chunk)
+    kern = functools.partial(_gather_kernel, chunk=chunk, aligned=aligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, P // chunk),

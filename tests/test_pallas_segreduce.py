@@ -86,6 +86,31 @@ def test_segment_gather_matches_take(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_segment_gather_bf16_aligned(rng):
+    """bf16 tables take the 16-aligned dynamic-window path (packed
+    sublanes make arbitrary dynamic offsets unprovable for Mosaic)."""
+    from geomae_tpu.ops.pallas_segreduce import segment_gather_pallas
+    B, P, S, C = 2, 256, 40, 5
+    ids = np.sort(rng.integers(0, S, (B, P)), axis=1).astype(np.int32)
+    for b in range(B):
+        u = np.unique(ids[b])
+        remap = {v: i for i, v in enumerate(u)}
+        ids[b] = np.vectorize(remap.get)(ids[b])
+        n = rng.integers(P // 2, P)
+        ids[b, n:] = S
+    table = rng.normal(size=(B, S, C)).astype(np.float32)
+    tb = jnp.asarray(table).astype(jnp.bfloat16)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(segment_gather_pallas(
+            tb, jnp.asarray(ids), 64).astype(jnp.float32))
+    want = np.take_along_axis(
+        np.pad(np.asarray(tb.astype(jnp.float32)),
+               ((0, 0), (0, 1), (0, 0))),
+        np.minimum(ids, S)[..., None], axis=1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)  # pure selection
+
+
 def test_segment_gather_grad(rng):
     from geomae_tpu.ops.pallas_segreduce import segment_gather_pallas
     B, P, S, C = 1, 128, 10, 3
