@@ -11,13 +11,18 @@ devkit docs):
 * AP = normalized area under the precision-recall curve restricted to
   recall, precision > 0.1;
 * TP errors (ATE translation, ASE 1-IoU_aligned scale, AOE orientation,
-  AVE velocity) averaged over matches at the 2 m threshold, accumulated
-  over the recall range above 10%;
-* mATE etc. averaged over classes; NDS = (5*mAP + sum(1 - min(1, err)))/10.
+  AVE velocity, AAE 1-attribute-accuracy) averaged over matches at the 2 m
+  threshold, accumulated over the recall range above 10%;
+* mATE etc. averaged over classes (devkit nanmean — traffic_cone skips
+  attr/vel/orient, barrier skips attr/vel);
+* NDS = (5*mAP + sum over the 5 TP errors of max(1 - min(1, err), 0))/10.
 
-(The attribute error AAE is fixed at 1 - its weight share since this
-framework does not predict attributes; the devkit applies the same formula
-with AAE included — we expose ``use_attr=False`` to document the delta.)
+Predicted attributes follow the reference's velocity/class rule
+(``/root/reference/mmdet3d/datasets/nuscenes_dataset.py:322-342``): speed
+> 0.2 m/s => vehicle.moving / cycle.with_rider, else pedestrian.standing /
+vehicle.stopped / the per-class default.  GT attributes are optional; when
+absent the AAE term contributes 0 to NDS (AAE = 1), exactly what the
+devkit scores for an attribute-free submission.
 """
 from __future__ import annotations
 
@@ -36,6 +41,42 @@ CLASS_RANGES = {
     "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
     "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
 }
+
+# reference per-class fallback attribute (nuscenes_dataset.py:69-80)
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked", "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider", "barrier": "", "traffic_cone": "",
+}
+
+# devkit: metrics not defined for a class are excluded from their mean
+TP_SKIP = {
+    "traffic_cone": ("attr_err", "vel_err", "orient_err"),
+    "barrier": ("attr_err", "vel_err"),
+}
+
+TP_NAMES = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+
+
+def velocity_attribute(name: str, vx: float, vy: float) -> str:
+    """Reference attribute rule (nuscenes_dataset.py:322-342): moving
+    vehicles -> vehicle.moving, moving cycles -> cycle.with_rider; parked
+    pedestrians -> pedestrian.standing, stopped buses -> vehicle.stopped;
+    everything else the per-class default."""
+    if float(np.hypot(vx, vy)) > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck",
+                    "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE.get(name, "")
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE.get(name, "")
 
 
 def _yaw_diff(a, b):
@@ -71,15 +112,19 @@ def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
       / 0.9.
     """
     n_gt = sum(len(g["boxes"]) for g in gts)
-    rows = []     # (score, is_tp, trans_err, scale_err, orient_err, vel_err)
+    # (score, is_tp, trans_err, scale_err, orient_err, vel_err, attr_err);
+    # attr_err is nan when GT carries no attribute (devkit attr_acc)
+    rows = []
     for pred, gt in zip(preds, gts):
         pb, sc = pred["boxes"], pred["scores"]
         gb = gt["boxes"]
+        p_attr = pred.get("attrs")
+        g_attr = gt.get("attrs")
         taken = np.zeros(len(gb), bool)
         order = np.argsort(-sc)
         for i in order:
             if len(gb) == 0:
-                rows.append((sc[i], 0, 0, 0, 0, 0))
+                rows.append((sc[i], 0, 0, 0, 0, 0, np.nan))
                 continue
             d = np.linalg.norm(gb[:, :2] - pb[i, :2], axis=1)
             d = np.where(taken, np.inf, d)
@@ -91,9 +136,13 @@ def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
                 oe = _yaw_diff(pb[i, 6], gb[j, 6])
                 ve = float(np.linalg.norm(pb[i, 7:9] - gb[j, 7:9])) \
                     if pb.shape[1] > 7 and gb.shape[1] > 7 else 0.0
-                rows.append((sc[i], 1, te, se, oe, ve))
+                ae = np.nan
+                if p_attr is not None and g_attr is not None \
+                        and g_attr[j] != "":
+                    ae = 0.0 if p_attr[i] == g_attr[j] else 1.0
+                rows.append((sc[i], 1, te, se, oe, ve, ae))
             else:
-                rows.append((sc[i], 0, 0, 0, 0, 0))
+                rows.append((sc[i], 0, 0, 0, 0, 0, np.nan))
 
     if n_gt == 0 or not rows:
         return None
@@ -116,17 +165,24 @@ def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
     out = dict()
     if is_tp.any() and max_recall_ind >= first_ind:
         tp_conf = conf[is_tp]
-        cummean = np.cumsum(rows[is_tp, 2:6], axis=0) \
-            / np.arange(1, is_tp.sum() + 1)[:, None]
-        for k, name in enumerate(["trans_err", "scale_err", "orient_err",
-                                  "vel_err"]):
+        # devkit cummean: nan entries (GT without attribute) don't advance
+        # the running mean; a nan prefix reads 0, an all-nan column reads 1
+        vals = rows[is_tp, 2:7]
+        seen = ~np.isnan(vals)
+        cnt = np.cumsum(seen, axis=0)
+        cummean = np.nancumsum(np.where(seen, vals, 0.0), axis=0) \
+            / np.maximum(cnt, 1)
+        cummean = np.where(cnt > 0, cummean, 0.0)
+        all_nan = ~seen.any(axis=0)
+        cummean[:, all_nan] = 1.0
+        for k, name in enumerate(TP_NAMES):
             # devkit: interpolate the cumulative mean on confidence
             # (both sequences reversed so x is increasing)
             v = np.interp(conf_i[::-1], tp_conf[::-1],
                           cummean[::-1, k])[::-1]
             out[name] = float(v[first_ind:max_recall_ind + 1].mean())
     else:
-        out = dict(trans_err=1.0, scale_err=1.0, orient_err=1.0, vel_err=1.0)
+        out = {name: 1.0 for name in TP_NAMES}
 
     p = np.clip(prec_i[first_ind:] - MIN_PRECISION, 0, None)
     out["ap"] = float(p.mean() / (1 - MIN_PRECISION))
@@ -138,10 +194,15 @@ def evaluate(predictions: List[Dict], ground_truths: List[Dict],
     """Full protocol over frames.
 
     predictions[i]: {'boxes' [N, 9], 'scores' [N], 'labels' [N]}
-    ground_truths[i]: {'boxes' [M, 9], 'labels' [M]}
+    ground_truths[i]: {'boxes' [M, 9], 'labels' [M],
+                       optional 'attrs' [M] attribute-name strings}
+    Predicted attributes are derived from each box's velocity and class by
+    the reference rule (``velocity_attribute``), matching what
+    ``format_results_json`` submits to the devkit.
     """
     ap_per_class = {}
     tp_per_class = {}
+    has_attrs = any("attrs" in g for g in ground_truths)
     for ci, cname in enumerate(class_names):
         rng = CLASS_RANGES.get(cname, 50.0)
 
@@ -152,6 +213,12 @@ def evaluate(predictions: List[Dict], ground_truths: List[Dict],
             out = {"boxes": b[m]}
             if is_pred:
                 out["scores"] = frame["scores"][m]
+                if has_attrs and b.shape[1] > 7:
+                    out["attrs"] = [velocity_attribute(cname, x[7], x[8])
+                                    for x in b[m]]
+            elif "attrs" in frame:
+                out["attrs"] = [frame["attrs"][i]
+                                for i in np.flatnonzero(m)]
             return out
 
         preds = [_filt(f, True) for f in predictions]
@@ -172,15 +239,19 @@ def evaluate(predictions: List[Dict], ground_truths: List[Dict],
         return dict(mAP=0.0, NDS=0.0)
     mAP = float(np.mean(list(ap_per_class.values())))
     errs = {}
-    for name in ["trans_err", "scale_err", "orient_err", "vel_err"]:
-        vals = [t[name] for t in tp_per_class.values() if t is not None]
+    for name in TP_NAMES:
+        if name == "attr_err" and not has_attrs:
+            # no GT attributes available: the devkit scores an
+            # attribute-free submission AAE = 1 (NDS term 0)
+            errs["mattr_err"] = 1.0
+            continue
+        # devkit nanmean over classes, skipping classes for which the
+        # metric is undefined (TP_SKIP)
+        vals = [t[name] for c, t in tp_per_class.items()
+                if t is not None and name not in TP_SKIP.get(c, ())]
         errs["m" + name] = float(np.mean(vals)) if vals else 1.0
-    # NDS: the devkit averages 5 TP errors incl. attribute error; a
-    # submission without attribute predictions scores AAE = 1, whose NDS
-    # contribution max(1-1, 0) is exactly the 0.0 term below — so this
-    # NDS EQUALS the devkit's for attribute-free submissions.
     tp_score = sum(max(1 - min(e, 1.0), 0.0) for e in errs.values())
-    nds = (5 * mAP + tp_score + 0.0) / 10.0
+    nds = (5 * mAP + tp_score) / 10.0
     out = dict(mAP=mAP, NDS=nds, **errs)
     for c, v in ap_per_class.items():
         out[f"AP_{c}"] = v
@@ -196,6 +267,7 @@ def format_results_json(tokens: List[str], predictions: List[Dict],
     for tok, pred in zip(tokens, predictions):
         frame = []
         for b, s, l in zip(pred["boxes"], pred["scores"], pred["labels"]):
+            name = class_names[int(l)]
             frame.append(dict(
                 sample_token=tok,
                 translation=[float(b[0]), float(b[1]),
@@ -203,9 +275,10 @@ def format_results_json(tokens: List[str], predictions: List[Dict],
                 size=[float(b[4]), float(b[3]), float(b[5])],  # wlh order
                 rotation=_yaw_to_quat(float(b[6])),
                 velocity=[float(b[7]), float(b[8])],
-                detection_name=class_names[int(l)],
+                detection_name=name,
                 detection_score=float(s),
-                attribute_name="",
+                attribute_name=velocity_attribute(
+                    name, float(b[7]), float(b[8])),
             ))
         results[tok] = frame
     return dict(meta=dict(use_camera=False, use_lidar=True, use_radar=False,

@@ -90,19 +90,23 @@ class CenterHead(nn.Module):
 
 
 def gaussian_radius_feat(length_px, width_px, min_overlap: float):
-    """CenterPoint radius formula (reference ``gaussian.py:56-90``; this
-    fork keeps the original (b + sqrt)/2 variant)."""
+    """CenterPoint radius formula (reference ``gaussian.py:56-90``).
+
+    The reference divides ALL THREE quadratic roots by 2 — including r2
+    (whose leading coefficient is 4) and r3 (computed as (b3 + sq3)/2 with
+    NEGATIVE b3) — the original CornerNet variant.  Reproduced exactly;
+    "fixing" the algebra would change every radius and break parity."""
     h, w = length_px, width_px
     b1 = h + w
     c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
     r1 = (b1 + jnp.sqrt(jnp.maximum(b1**2 - 4 * c1, 0.0))) / 2
     b2 = 2 * (h + w)
     c2 = (1 - min_overlap) * w * h
-    r2 = (b2 + jnp.sqrt(jnp.maximum(b2**2 - 16 * c2, 0.0))) / 8
+    r2 = (b2 + jnp.sqrt(jnp.maximum(b2**2 - 16 * c2, 0.0))) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (h + w)
     c3 = (min_overlap - 1) * w * h
-    r3 = (-b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / (2 * a3)
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / 2
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
@@ -132,8 +136,10 @@ def compute_center_targets(gt_boxes, gt_labels, gt_mask,
 
     cx = (gt_boxes[:, 0] - r[0]) / vx / fac
     cy = (gt_boxes[:, 1] - r[1]) / vy / fac
-    ix = jnp.floor(cx).astype(jnp.int32)
-    iy = jnp.floor(cy).astype(jnp.int32)
+    # reference truncates toward zero (``center.to(torch.int32)``,
+    # centerpoint_head.py:535), so cx in (-1, 0) lands on pixel 0
+    ix = cx.astype(jnp.int32)
+    iy = cy.astype(jnp.int32)
     ok = (gt_mask & (wpx > 0) & (lpx > 0)
           & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))
 
@@ -232,56 +238,65 @@ def center_head_loss(task_preds: List[Dict[str, jnp.ndarray]],
 # ---------------------------------------------------------------------------
 
 
-def center_head_decode(task_preds: List[Dict[str, jnp.ndarray]],
-                       cfg: CenterHeadConfig,
-                       voxel: VoxelConfig) -> Detections:
-    """Batched decode -> fixed-size Detections (like the anchor head)."""
-    H, W = task_preds[0]["heatmap"].shape[1:3]
+def decode_task(p: Dict[str, jnp.ndarray], cfg: CenterHeadConfig,
+                voxel: VoxelConfig):
+    """One sample, one task: top-k decode pre-NMS (CenterPointBBoxCoder
+    ``decode``, ``centerpoint_bbox_coders.py:116-240``).
+
+    Returns (boxes [K, 9] bottom-z, scores [K], cls [K] task-local,
+    ok [K] score+post-center-range mask)."""
+    H, W = p["heatmap"].shape[0:2]
     r = voxel.point_cloud_range
     fac = cfg.out_size_factor
     vx, vy = voxel.voxel_size[0], voxel.voxel_size[1]
     pcr = jnp.asarray(cfg.post_center_range)
 
+    hm = jax.nn.sigmoid(p["heatmap"].astype(jnp.float32))
+    flat = jnp.moveaxis(hm, -1, 0).reshape(-1)        # [C*H*W]
+    k = min(cfg.topk, flat.shape[0])
+    scores, idx = jax.lax.top_k(flat, k)
+    cls = idx // (H * W)
+    pix = idx % (H * W)
+    ys = (pix // W).astype(jnp.float32)
+    xs = (pix % W).astype(jnp.float32)
+
+    def gat(name):
+        t = p[name].astype(jnp.float32).reshape(H * W, -1)
+        return t[pix]
+
+    reg = gat("reg")
+    x = (xs + reg[:, 0]) * fac * vx + r[0]
+    y = (ys + reg[:, 1]) * fac * vy + r[1]
+    zc = gat("height")[:, 0]
+    dim = gat("dim")
+    if cfg.norm_bbox:
+        dim = jnp.exp(dim)
+    rot = gat("rot")
+    yaw = jnp.arctan2(rot[:, 0], rot[:, 1])
+    vel = gat("vel")
+    z = zc - dim[:, 2] / 2
+    boxes = jnp.stack([x, y, z, dim[:, 0], dim[:, 1], dim[:, 2],
+                       yaw, vel[:, 0], vel[:, 1]], -1)
+    ok = scores > cfg.score_threshold
+    ctr = jnp.stack([x, y, zc], -1)
+    ok &= jnp.all((ctr >= pcr[:3]) & (ctr <= pcr[3:]), -1)
+    return boxes, scores, cls.astype(jnp.int32), ok
+
+
+def center_head_decode(task_preds: List[Dict[str, jnp.ndarray]],
+                       cfg: CenterHeadConfig,
+                       voxel: VoxelConfig) -> Detections:
+    """Batched decode -> fixed-size Detections (like the anchor head)."""
+
     def one(preds_flat):
         all_boxes, all_scores, all_labels, all_valid = [], [], [], []
         for ti, (lo, hi) in enumerate(_task_slices(cfg)):
-            p = preds_flat[ti]
-            hm = jax.nn.sigmoid(p["heatmap"].astype(jnp.float32))
-            C = hm.shape[-1]
-            flat = jnp.moveaxis(hm, -1, 0).reshape(-1)    # [C*H*W]
-            k = min(cfg.topk, flat.shape[0])
-            scores, idx = jax.lax.top_k(flat, k)
-            cls = idx // (H * W)
-            pix = idx % (H * W)
-            ys = (pix // W).astype(jnp.float32)
-            xs = (pix % W).astype(jnp.float32)
-
-            def gat(name):
-                t = p[name].astype(jnp.float32).reshape(H * W, -1)
-                return t[pix]
-
-            reg = gat("reg")
-            x = (xs + reg[:, 0]) * fac * vx + r[0]
-            y = (ys + reg[:, 1]) * fac * vy + r[1]
-            zc = gat("height")[:, 0]
-            dim = gat("dim")
-            if cfg.norm_bbox:
-                dim = jnp.exp(dim)
-            rot = gat("rot")
-            yaw = jnp.arctan2(rot[:, 0], rot[:, 1])
-            vel = gat("vel")
-            z = zc - dim[:, 2] / 2
-            boxes = jnp.stack([x, y, z, dim[:, 0], dim[:, 1], dim[:, 2],
-                               yaw, vel[:, 0], vel[:, 1]], -1)
-
-            ok = scores > cfg.score_threshold
-            ctr = jnp.stack([x, y, zc], -1)
-            ok &= jnp.all((ctr >= pcr[:3]) & (ctr <= pcr[3:]), -1)
-            bev5 = jnp.stack([x, y, dim[:, 0], dim[:, 1], yaw], -1)
+            boxes, scores, cls, ok = decode_task(preds_flat[ti], cfg, voxel)
+            bev5 = boxes[:, [0, 1, 3, 4, 6]]
             keep = nms_bev(bev5, scores, ok, cfg.nms_thr, cfg.post_max_size)
             all_boxes.append(boxes)
             all_scores.append(jnp.where(keep, scores, -1.0))
-            all_labels.append((cls + lo).astype(jnp.int32))
+            all_labels.append(cls + lo)
             all_valid.append(keep)
 
         boxes = jnp.concatenate(all_boxes)

@@ -33,8 +33,10 @@ Slot groups ride an extra grid dimension so the resident table stays
 Ids are passed as exact float32 (ids < 2^24) to sidestep Mosaic's int32
 slice-tiling limits.  CONTRACT (beyond ascending ids): within any one
 chunk of positions, every non-sentinel id must satisfy
-``id - chunk_first_id < chunk`` — the one-hot window only addresses
-``chunk`` rows.  Dense rank ids (0,0,1,2,2,...) as produced by
+``id - chunk_first_id < chunk`` — the one-hot window addresses ``chunk``
+rows (widened to ``chunk + 16`` with a 16-floored start for 16-bit
+packed tables, whose dynamic gather base must be sublane-aligned).
+Dense rank ids (0,0,1,2,2,...) as produced by
 ``voxelize.build_scene``'s ``point2voxel`` satisfy this for any chunk
 size.  Rows of empty segments are 0 for sum and the neutral -3e38 -> 0
 masked by callers for max.

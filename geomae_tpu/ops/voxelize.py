@@ -163,7 +163,12 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
     # searchsorted(method='sort') ([P+V] sort + payload) and a Pallas
     # per-point segment reduce (measured +18 ms at [4, 262k] on v5e);
     # ranks are dense, so row validity is just ``row < num_voxels``.
-    key_rows = jax.lax.sort(jnp.where(first, pk_s, INT32_MAX))[:v_cap]
+    key_rows = jax.lax.sort(jnp.where(first, pk_s, INT32_MAX))
+    if key_rows.shape[0] < v_cap:       # tiny scenes: P < pillar capacity
+        key_rows = jnp.pad(key_rows, (0, v_cap - key_rows.shape[0]),
+                           constant_values=INT32_MAX)
+    else:
+        key_rows = key_rows[:v_cap]
     tvalid = jnp.arange(v_cap, dtype=jnp.int32) < num_voxels
     safe = jnp.where(tvalid, key_rows, 0)
     coords = jnp.stack([safe // nx, safe % nx], axis=-1)

@@ -156,3 +156,63 @@ def test_ap_hand_computed_single_frame():
     expect = (39 * 0.9 + 0.4
               + np.sum(0.5 + (r[51:] - 0.5) / 3 - 0.1)) / 90 / .9
     np.testing.assert_allclose(acc["ap"], expect, rtol=1e-9)
+
+
+def test_attribute_assignment_rules():
+    """Reference rule (nuscenes_dataset.py:322-342): speed decides."""
+    from geomae_tpu.eval.nuscenes_eval import velocity_attribute
+    assert velocity_attribute("car", 1.0, 0.0) == "vehicle.moving"
+    assert velocity_attribute("car", 0.1, 0.1) == "vehicle.parked"
+    assert velocity_attribute("bicycle", 0.3, 0.0) == "cycle.with_rider"
+    assert velocity_attribute("bicycle", 0.0, 0.0) == "cycle.without_rider"
+    assert velocity_attribute("pedestrian", 0.0, 0.0) == \
+        "pedestrian.standing"
+    assert velocity_attribute("pedestrian", 0.5, 0.0) == "pedestrian.moving"
+    assert velocity_attribute("bus", 0.0, 0.0) == "vehicle.stopped"
+    assert velocity_attribute("bus", 1.0, 0.0) == "vehicle.moving"
+    assert velocity_attribute("traffic_cone", 0.0, 0.0) == ""
+
+
+def test_results_json_attribute_name():
+    """A moving car submits vehicle.moving (VERDICT r3 missing #1)."""
+    moving = make_frame([[1, 2, 0, 4, 2, 1.5, 0.3, 1.0, 0.0]], scores=[0.5])
+    parked = make_frame([[1, 2, 0, 4, 2, 1.5, 0.3, 0.0, 0.0]], scores=[0.5])
+    out = format_results_json(["a", "b"], [moving, parked], ("car",))
+    assert out["results"]["a"][0]["attribute_name"] == "vehicle.moving"
+    assert out["results"]["b"][0]["attribute_name"] == "vehicle.parked"
+
+
+def test_nds_includes_aae_term():
+    """With GT attributes, NDS carries the mAAE term by the devkit
+    formula NDS = (5*mAP + sum_5 max(1 - min(err, 1), 0)) / 10."""
+    # one moving car predicted exactly; GT says it was parked -> AAE = 1
+    box = [0, 0, 0, 4, 2, 1.5, 0.0, 1.0, 0.0]
+    gts = [dict(make_frame([box]), attrs=["vehicle.parked"])]
+    preds = [make_frame([box], scores=[0.9])]
+    wrong = evaluate(preds, gts, ("car",))
+    gts_right = [dict(make_frame([box]), attrs=["vehicle.moving"])]
+    right = evaluate(preds, gts_right, ("car",))
+    assert wrong["mattr_err"] == 1.0
+    assert right["mattr_err"] == 0.0
+    # exact match everywhere else: the NDS delta is exactly 0.1
+    np.testing.assert_allclose(right["NDS"] - wrong["NDS"], 0.1, atol=1e-9)
+    # devkit formula check on the 'right' case
+    errs = [right["mtrans_err"], right["mscale_err"], right["morient_err"],
+            right["mvel_err"], right["mattr_err"]]
+    want = (5 * right["mAP"] + sum(max(1 - min(e, 1), 0)
+                                   for e in errs)) / 10
+    np.testing.assert_allclose(right["NDS"], want, rtol=1e-12)
+
+
+def test_aae_skips_attr_free_classes():
+    """traffic_cone/barrier are excluded from mAAE (devkit nanmean)."""
+    box_car = [0, 0, 0, 4, 2, 1.5, 0.0, 1.0, 0.0]
+    box_tc = [5, 5, 0, 0.4, 0.4, 1.0, 0.0, 0.0, 0.0]
+    gts = [dict(boxes=np.array([box_car, box_tc], np.float32),
+                labels=np.array([0, 1]),
+                attrs=["vehicle.moving", ""])]
+    preds = [dict(boxes=np.array([box_car, box_tc], np.float32),
+                  labels=np.array([0, 1]),
+                  scores=np.array([0.9, 0.8], np.float32))]
+    m = evaluate(preds, gts, ("car", "traffic_cone"))
+    assert m["mattr_err"] == 0.0          # only the car class counts

@@ -135,30 +135,26 @@ def test_neighbor_rows(rng):
     assert np.all(nbr[valid, 4] == np.arange(V)[valid])
 
 
-def test_build_scene_batch_pallas_rowkeys(rng, monkeypatch):
-    """The sort-free TPU table build (pallas segment-max row keys + dense
-    rank validity) must reproduce the searchsorted path exactly."""
-    from jax.experimental.pallas import tpu as pltpu
+def test_build_scene_fewer_points_than_capacity(rng):
+    """Regression: the value-sort row-key compaction must pad, not truncate,
+    when P < v_cap (every tiny/CPU config; round-3 snapshot bug)."""
+    cfg = tiny_cfg()
+    P, V = 64, 1664                        # far fewer points than capacity
+    pts3 = random_points(rng, P, cfg)
+    pts = np.concatenate([pts3, np.zeros((P, 2), np.float32)], -1)
+    valid = rng.random(P) > 0.2
+    sc = vox.build_scene(jnp.asarray(pts), jnp.asarray(valid), cfg, V)
 
-    from geomae_tpu.config import geomae_pretrain_nus
-    cfg = geomae_pretrain_nus().voxel
-    B, P, v_cap = 2, 1024, 256
-    r = cfg.point_cloud_range
-    pts = rng.uniform([r[0], r[1], r[2], 0, 0],
-                      [r[3] - 1e-3, r[4] - 1e-3, r[5] - 1e-3, 1, 0.4],
-                      (B, P, 5)).astype(np.float32)
-    valid = np.ones((B, P), bool)
-    valid[:, -100:] = False
-    ref = vox.build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
-                                cfg, v_cap)
-
-    monkeypatch.setattr(vox, "_pallas_rowkeys", lambda P: True)
-    with pltpu.force_tpu_interpret_mode():
-        got = vox.build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
-                                    cfg, v_cap)
-    np.testing.assert_array_equal(np.asarray(got.table.valid),
-                                  np.asarray(ref.table.valid))
-    np.testing.assert_array_equal(np.asarray(got.table.coords),
-                                  np.asarray(ref.table.coords))
-    np.testing.assert_array_equal(np.asarray(got.table.point2voxel),
-                                  np.asarray(ref.table.point2voxel))
+    low = np_low_coords(pts3, cfg)
+    rz, ry, rx = cfg.sub_voxel_ratio_low
+    py, px = low[:, 1] // ry, low[:, 2] // rx
+    keys = sorted(set((int(a), int(b)) for a, b, v in zip(py, px, valid)
+                      if v))
+    n = int(sc.table.num_voxels)
+    assert n == len(keys)
+    assert sc.table.coords.shape == (V, 2)
+    assert sc.table.valid.shape == (V,)
+    got = [tuple(map(int, c)) for c in np.asarray(sc.table.coords)[:n]]
+    assert got == keys
+    assert not np.any(np.asarray(sc.table.valid)[n:])
+    np.testing.assert_array_equal(np.asarray(sc.table.coords)[n:], 0)
