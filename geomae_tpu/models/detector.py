@@ -29,14 +29,19 @@ class DynamicVoxelNet(nn.Module):
     cfg: FinetuneConfig
 
     @nn.compact
-    def __call__(self, scene: Scene, train: bool = True) -> HeadOutputs:
+    def __call__(self, scene: Scene, train: bool = True,
+                 voxel_feats: jnp.ndarray | None = None) -> HeadOutputs:
+        """``voxel_feats`` (optional [B, V, C]) bypasses the VFE (used by
+        full-model parity tests; params identical either way)."""
         cfg = self.cfg
         table = scene.table
         dtype = jnp.dtype(cfg.compute_dtype)
         ny, nx = cfg.voxel.grid_size
 
-        feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
-                                  name="voxel_encoder")(scene, train)
+        feats = voxel_feats
+        if feats is None:
+            feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
+                                      name="voxel_encoder")(scene, train)
 
         layouts = make_layouts(table.coords, table.valid, cfg.sst, cfg.voxel)
         shift_data = prepare_shift_data(layouts, None, table.valid,

@@ -360,7 +360,11 @@ class GeoMAE(nn.Module):
     cfg: PretrainConfig
 
     @nn.compact
-    def __call__(self, scene: Scene, keep: jnp.ndarray, train: bool = True):
+    def __call__(self, scene: Scene, keep: jnp.ndarray, train: bool = True,
+                 voxel_feats: jnp.ndarray | None = None):
+        """``voxel_feats`` (optional [B, V, C]) bypasses the VFE — used by
+        full-backbone parity tests and profilers to inject post-VFE
+        features; params are identical either way (init runs the VFE)."""
         cfg = self.cfg
         table = scene.table
         C = cfg.sst.d_model
@@ -369,8 +373,10 @@ class GeoMAE(nn.Module):
         vis_cap = cfg.caps.max_visible
         s_low, s_med = cfg.voxel.num_slots_low, cfg.voxel.num_slots_med
 
-        voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
-                                        name="voxel_encoder")(scene, train)
+        if voxel_feats is None:
+            voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
+                                            name="voxel_encoder")(scene,
+                                                                  train)
 
         # ---- encoder over compacted visible tokens ------------------------
         vis_idx, vis_valid = jax.vmap(

@@ -292,8 +292,8 @@ def _dq_kernel(nv_ref, do_ref, st_ref, winq_ref, wq_ref, bq_ref, wk_ref,
         bias = jnp.where(mask, 0.0, _NEG)
 
         scale = 1.0 / (head_dim ** 0.5)
-        dq = jnp.zeros((tile, nheads * head_dim), jnp.float32)
-        for h in range(nheads):
+        dq_parts = []   # static per-head concat (Mosaic cannot lower
+        for h in range(nheads):     # dynamic_update_slice inside pl.when)
             sl = slice(h * head_dim, (h + 1) * head_dim)
             m = st_ref[0, :, h:h + 1]
             lrow = st_ref[0, :, nheads + h:nheads + h + 1]
@@ -303,9 +303,9 @@ def _dq_kernel(nv_ref, do_ref, st_ref, winq_ref, wq_ref, bq_ref, wk_ref,
             p = jnp.exp(s - m) * inv_l
             dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
             ds = p * (dp - dvo)
-            dqh = _dot(ds.astype(kb.dtype), kb[:, sl],
-                       ((1,), (0,))) * scale
-            dq = jax.lax.dynamic_update_slice(dq, dqh, (0, h * head_dim))
+            dq_parts.append(_dot(ds.astype(kb.dtype), kb[:, sl],
+                                 ((1,), (0,))) * scale)
+        dq = jnp.concatenate(dq_parts, axis=1)
         dqc = dq.astype(dt)
         # dx (query side) and the Wq grads
         dxq_ref[0] = _dot(dqc, wq_ref[0], ((1,), (1,))).astype(dt)
@@ -394,8 +394,7 @@ def _dkv_kernel(nv_ref, aux_t_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
         bias = jnp.where(mask, 0.0, _NEG)
 
         scale = 1.0 / (head_dim ** 0.5)
-        dk = jnp.zeros((tile, nheads * head_dim), jnp.float32)
-        dv = jnp.zeros((tile, nheads * head_dim), jnp.float32)
+        dk_parts, dv_parts = [], []     # static concat, see _dq body
         for h in range(nheads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             m = qsbuf[slot, 0, h:h + 1, :]                     # [1, width]
@@ -404,12 +403,14 @@ def _dkv_kernel(nv_ref, aux_t_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
             dvo = qsbuf[slot, 0, 2 * nheads + h:2 * nheads + h + 1, :]
             s = _dot(kt[:, sl], qb[:, sl], ((1,), (1,))) * scale + bias
             p = jnp.exp(s - m) * inv_l                         # [tile, width]
-            dvh = _dot(p.astype(dob.dtype), dob[:, sl], ((1,), (0,)))
+            dv_parts.append(_dot(p.astype(dob.dtype), dob[:, sl],
+                                 ((1,), (0,))))
             dp = _dot(vt[:, sl], dob[:, sl], ((1,), (1,)))
             ds = p * (dp - dvo)
-            dkh = _dot(ds.astype(qb.dtype), qb[:, sl], ((1,), (0,))) * scale
-            dk = jax.lax.dynamic_update_slice(dk, dkh, (0, h * head_dim))
-            dv = jax.lax.dynamic_update_slice(dv, dvh, (0, h * head_dim))
+            dk_parts.append(_dot(ds.astype(qb.dtype), qb[:, sl],
+                                 ((1,), (0,))) * scale)
+        dk = jnp.concatenate(dk_parts, axis=1)
+        dv = jnp.concatenate(dv_parts, axis=1)
         dkc = dk.astype(dt)
         dvc = dv.astype(dt)
         dxkv_ref[0] = (_dot(dkc, wk_ref[0], ((1,), (1,))) +

@@ -45,13 +45,37 @@ _SQRT_HALF = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+# Mosaic has no erf lowering; this is XLA's own f32 rational (the Eigen
+# polynomial ErfImpl32 in xla/client/lib/math.cc), so values match the
+# XLA path to the last ulp on [-4, 4] and saturate identically outside.
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08,
+              -2.10102402082508e-06, -5.69250639462346e-05,
+              -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04,
+             -1.68282697438203e-03, -7.37332916720468e-03,
+             -1.42647390514189e-02)
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + c
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + c
+    return x * p / q
+
+
 def _gelu(x):
     """erf-exact GELU on f32 (torch ``F.gelu`` default)."""
-    return 0.5 * x * (1.0 + jax.lax.erf(x * _SQRT_HALF))
+    return 0.5 * x * (1.0 + _erf_f32(x * _SQRT_HALF))
 
 
 def _dgelu(x):
-    cdf = 0.5 * (1.0 + jax.lax.erf(x * _SQRT_HALF))
+    cdf = 0.5 * (1.0 + _erf_f32(x * _SQRT_HALF))
     pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
     return cdf + x * pdf
 

@@ -177,7 +177,10 @@ def _resolve(path: Tuple[str, ...], sd, kind: str):
             base = f"neck.deblocks.{i}"
             if m.group(2) == "bn":
                 return sd[f"{base}.1.{_BN_SUFFIX[p[2]]}"]
-            if m.group(2) == "deconv":
+            if m.group(2) in ("deconv", "conv"):
+                # stride-1 levels are ConvTranspose2d k=1 s=1 in the
+                # reference too (use_conv_for_no_stride=False,
+                # second_fpn.py:45-52): weight layout [in, out, 1, 1]
                 return _deconv(sd, f"{base}.0", p[2])
             return _conv(sd, f"{base}.0", p[2])
         if p[0] == "bbox_head":

@@ -48,6 +48,30 @@ def _extract_functions(path: str, names, extra_globals=None):
     return ns
 
 
+def _extract_classes(path: str, names, extra_globals=None):
+    """Compile the named ClassDefs from ``path`` into a fresh namespace,
+    stripping class AND method decorators (registry hooks, @auto_fp16)."""
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    ns = {"torch": torch, "np": np, "nn": torch.nn,
+          "random": __import__("random"), "copy": __import__("copy")}
+    if extra_globals:
+        ns.update(extra_globals)
+    found = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name in names:
+            node.decorator_list = []
+            for sub in ast.walk(node):
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    sub.decorator_list = []
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(ast.fix_missing_locations(mod), path, "exec"), ns)
+            found.add(node.name)
+    missing = set(names) - found
+    assert not missing, f"reference classes not found: {missing}"
+    return ns
+
+
 def _canon_labels(ids: np.ndarray) -> np.ndarray:
     """Relabel ids by first occurrence so groupings compare exactly."""
     _, inv = np.unique(ids, return_inverse=True)

@@ -1,0 +1,386 @@
+"""FULL-backbone forward parity vs the executed reference MAE backbone
+(VERDICT r3 item 7): the whole ``MultiMAESSTSPChoose`` — window partition,
+2-shift encoder blocks, mask-token decoder pair, all 6 heads — compiled
+from reference sources (``/root/reference/mmdet3d/models/backbones/
+multi_mae_sst_spearate_top_only.py`` + ``models/sst/sst_basic_block.py`` +
+``ops/sst/sst_ops.py``) and run with the SAME weights our GeoMAE imports
+through ``train.torch_import``.  This retires the wiring-order risks that
+the layer/stage-level tests cannot see (block order, pos-embed application
+points, encoder compaction, mask-token substitution, head fan-out).
+
+The VFE is bypassed on both sides (its parity is pinned separately in
+``test_torch_import.py``): the same random post-VFE features feed the
+reference (visible rows) and ours (injected ``voxel_feats``).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from test_reference_parity import _extract_classes, _extract_functions
+
+REF = "/root/reference"
+BB = f"{REF}/mmdet3d/models/backbones/multi_mae_sst_spearate_top_only.py"
+BLK = f"{REF}/mmdet3d/models/sst/sst_basic_block.py"
+OPS = f"{REF}/mmdet3d/ops/sst/sst_ops.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted")
+
+
+def _build_reference_backbone(cfg):
+    ns_ops = _extract_functions(OPS, ["flat2window", "window2flat"])
+    ns_act = _extract_functions(BLK, ["_get_activation_fn"])
+    ns_blk = _extract_classes(
+        BLK, ["WindowAttention", "EncoderLayer", "BasicShiftBlock"],
+        extra_globals={
+            "flat2window": ns_ops["flat2window"],
+            "window2flat": ns_ops["window2flat"],
+            "_get_activation_fn": ns_act["_get_activation_fn"],
+            "checkpoint": torch.utils.checkpoint.checkpoint,
+        })
+    ns_bb = _extract_classes(
+        BB, ["MultiMAESSTSPChoose"],
+        extra_globals={
+            "BasicShiftBlock": ns_blk["BasicShiftBlock"],
+            "flat2window": ns_ops["flat2window"],
+            "window2flat": ns_ops["window2flat"],
+        })
+    sst, mae, voxel = cfg.sst, cfg.mae, cfg.voxel
+    n_blocks = max(mae.encoder_blocks, mae.decoder_blocks)
+    drop_info = {0: dict(max_tokens=sst.window_shape[0]
+                         * sst.window_shape[1],
+                         drop_range=(0, 100000))}
+    model = ns_bb["MultiMAESSTSPChoose"](
+        window_shape=tuple(sst.window_shape),
+        shifts_list=[tuple(s) for s in sst.shifts],
+        point_cloud_range=list(voxel.point_cloud_range),
+        voxel_size=tuple(voxel.voxel_size),
+        shuffle_voxels=False,
+        d_model=[sst.d_model] * n_blocks,
+        nhead=[sst.nhead] * n_blocks,
+        sub_voxel_ratio_low=list(voxel.sub_voxel_ratio_low),
+        sub_voxel_ratio_med=list(voxel.sub_voxel_ratio_med),
+        cls_sub_voxel=mae.cls_sub_voxel,
+        encoder_num_blocks=mae.encoder_blocks,
+        decoder_num_blocks=mae.decoder_blocks,
+        dim_feedforward=[sst.dim_feedforward] * n_blocks,
+        dropout=0.0,
+        activation=sst.activation,
+        output_shape=tuple(voxel.grid_size),
+        low=False, med=False, top=True,
+        debug=True,
+        drop_info=drop_info,
+        normalize_pos=sst.normalize_pos,
+        pos_temperature=sst.pos_temperature,
+        in_channel=None,
+    )
+    model.eval()
+    return model
+
+
+def _clustered_scene(rng, cfg, B):
+    """Points drawn from < v_cap distinct pillars (no capacity overflow)."""
+    from geomae_tpu.ops.voxelize import build_scene_batch
+
+    P = cfg.caps.max_points
+    r = cfg.voxel.point_cloud_range
+    pts = np.zeros((B, P, 5), np.float32)
+    valid = np.zeros((B, P), bool)
+    for b in range(B):
+        n = int(rng.integers(P // 2, P))
+        centers = rng.uniform([r[0] + 0.5, r[1] + 0.5, -2.0],
+                              [r[3] - 0.5, r[4] - 0.5, 0.5], (40, 3))
+        idx = rng.integers(0, 40, n)
+        xyz = centers[idx] + rng.normal(0, 0.3, (n, 3))
+        xyz = np.clip(xyz, [r[0], r[1], r[2]],
+                      [r[3] - 1e-3, r[4] - 1e-3, r[5] - 1e-3])
+        pts[b, :n, :3] = xyz
+        valid[b, :n] = True
+    return build_scene_batch(jnp.asarray(pts), jnp.asarray(valid),
+                             cfg.voxel, cfg.caps.max_voxels)
+
+
+def test_full_backbone_forward_parity(rng):
+    from geomae_tpu.config import tiny_pretrain_config
+    from geomae_tpu.models.mae import GeoMAE, sample_mask
+    from geomae_tpu.train.pretrain import init_state
+    from geomae_tpu.train.torch_import import import_torch_weights
+
+    cfg = tiny_pretrain_config()
+    B = 2
+    C = cfg.sst.d_model
+    s_low, s_med = cfg.voxel.num_slots_low, cfg.voxel.num_slots_med
+
+    ref_model = _build_reference_backbone(cfg)
+    sd = {f"backbone.{k}": v.detach().numpy()
+          for k, v in ref_model.state_dict().items()}
+
+    state, _ = init_state(cfg, B, jax.random.PRNGKey(0))
+    params, stats, report = import_torch_weights(
+        state.params, state.batch_stats, sd, "pretrain")
+    assert report["unconsumed"] == [], report["unconsumed"]
+    # only the (bypassed) VFE may be missing
+    assert all("voxel_encoder" in m for m in report["missing"]), \
+        report["missing"]
+
+    scene = _clustered_scene(rng, cfg, B)
+    keep = sample_mask(jax.random.PRNGKey(3), scene.table.valid,
+                       cfg.mae.random_mask_ratio)
+    feats = rng.normal(0, 0.5, (B, cfg.caps.max_voxels, C)).astype(
+        np.float32)
+
+    preds = GeoMAE(cfg).apply(
+        {"params": params, "batch_stats": stats}, scene,
+        keep, False, jnp.asarray(feats))
+
+    # ---- reference side: flat visible / masked row lists ------------------
+    coords = np.asarray(scene.table.coords)       # [B, V, 2] (y, x)
+    valid = np.asarray(scene.table.valid)
+    keep_np = np.asarray(keep)
+    vis_rows, mask_rows, vis_feats = [], [], []
+    for b in range(B):
+        for v in np.flatnonzero(valid[b] & keep_np[b]):
+            vis_rows.append((b, 0, coords[b, v, 0], coords[b, v, 1]))
+            vis_feats.append(feats[b, v])
+        for v in np.flatnonzero(valid[b] & ~keep_np[b]):
+            mask_rows.append((b, 0, coords[b, v, 0], coords[b, v, 1]))
+    coors = torch.tensor(np.asarray(vis_rows, np.int64))
+    coors_mask = torch.tensor(np.asarray(mask_rows, np.int64))
+    with torch.no_grad():
+        (r_low, r_med, r_top, _, _, r_nor_top, r_cls_low, r_cls_med) = \
+            ref_model(torch.from_numpy(np.asarray(vis_feats, np.float32)),
+                      coors, coors_mask, B)
+
+    # ---- compare at masked rows (reference row order == ours) -------------
+    i = 0
+    atol = 2e-4
+    for b in range(B):
+        rows = np.flatnonzero(valid[b] & ~keep_np[b])
+        n = len(rows)
+        sl = slice(i, i + n)
+        np.testing.assert_allclose(
+            np.asarray(preds["reg_low"])[b, rows],
+            r_low.numpy()[sl].reshape(n, s_low, 3), atol=atol, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["reg_med"])[b, rows],
+            r_med.numpy()[sl].reshape(n, s_med, 3), atol=atol, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["reg_top"])[b, rows], r_top.numpy()[sl],
+            atol=atol, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["nor_top"])[b, rows], r_nor_top.numpy()[sl],
+            atol=atol, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["cls_low"])[b, rows],
+            r_cls_low.numpy()[sl].reshape(n, s_low, 2), atol=atol,
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["cls_med"])[b, rows],
+            r_cls_med.numpy()[sl].reshape(n, s_med, 2), atol=atol,
+            rtol=1e-4)
+        i += n
+    assert i > 50            # the test has teeth
+
+
+# ---------------------------------------------------------------------------
+# finetune: full DynamicVoxelNet forward (SST -> recover_bev -> SECOND ->
+# FPN -> Anchor3DHead) vs executed reference classes
+# ---------------------------------------------------------------------------
+
+INPUT_LAYER = f"{REF}/mmdet3d/models/middle_encoders/sst_input_layer.py"
+FT_BB = f"{REF}/mmdet3d/models/backbones/sst_second_pretrained_v1.py"
+FPN = f"{REF}/mmdet3d/models/necks/second_fpn.py"
+
+
+class _BaseModule(torch.nn.Module):
+    """mmcv BaseModule stand-in (init_cfg is inert at forward time)."""
+
+    def __init__(self, init_cfg=None):
+        super().__init__()
+        self.init_cfg = init_cfg
+
+
+def _build_norm_layer(cfg, ch):
+    return "bn", torch.nn.BatchNorm2d(ch, eps=cfg.get("eps", 1e-5),
+                                      momentum=cfg.get("momentum", 0.1))
+
+
+def _build_conv_layer(cfg, *args, **kw):
+    for name, a in zip(("in_channels", "out_channels", "kernel_size"), args):
+        kw[name] = a
+    return torch.nn.Conv2d(kw["in_channels"], kw["out_channels"],
+                           kw["kernel_size"], stride=kw.get("stride", 1),
+                           padding=kw.get("padding", 0),
+                           bias=cfg.get("bias", True))
+
+
+def _build_upsample_layer(cfg, in_channels, out_channels, kernel_size,
+                          stride):
+    return torch.nn.ConvTranspose2d(in_channels, out_channels, kernel_size,
+                                    stride=stride,
+                                    bias=cfg.get("bias", True))
+
+
+def _build_reference_finetune(cfg):
+    ns_ops = _extract_functions(OPS, ["flat2window", "window2flat"])
+    ns_act = _extract_functions(BLK, ["_get_activation_fn"])
+    ns_blk = _extract_classes(
+        BLK, ["WindowAttention", "EncoderLayer", "BasicShiftBlock"],
+        extra_globals={
+            "flat2window": ns_ops["flat2window"],
+            "window2flat": ns_ops["window2flat"],
+            "_get_activation_fn": ns_act["_get_activation_fn"],
+            "checkpoint": torch.utils.checkpoint.checkpoint,
+        })
+    ns_in = _extract_classes(
+        INPUT_LAYER, ["SSTInputLayer"],
+        extra_globals={"flat2window": ns_ops["flat2window"],
+                       "window2flat": ns_ops["window2flat"],
+                       "math": __import__("math")})
+    ns_bb = _extract_classes(
+        FT_BB, ["SSTSecondPretrainedv1"],
+        extra_globals={
+            "BasicShiftBlock": ns_blk["BasicShiftBlock"],
+            "flat2window": ns_ops["flat2window"],
+            "window2flat": ns_ops["window2flat"],
+            "build_conv_layer": _build_conv_layer,
+            "build_norm_layer": _build_norm_layer,
+        })
+    ns_fpn = _extract_classes(
+        FPN, ["SECONDFPN"],
+        extra_globals={
+            "BaseModule": _BaseModule,
+            "build_conv_layer": _build_conv_layer,
+            "build_norm_layer": _build_norm_layer,
+            "build_upsample_layer": _build_upsample_layer,
+        })
+
+    sst, voxel = cfg.sst, cfg.voxel
+    drop_info = {0: dict(max_tokens=sst.window_shape[0]
+                         * sst.window_shape[1],
+                         drop_range=(0, 100000))}
+    input_layer = ns_in["SSTInputLayer"](
+        drop_info=drop_info,
+        shifts_list=[tuple(s) for s in sst.shifts],
+        window_shape=tuple(sst.window_shape),
+        point_cloud_range=list(voxel.point_cloud_range),
+        voxel_size=tuple(voxel.voxel_size),
+        shuffle_voxels=False, debug=True)
+    norm_cfg = dict(type="naiveSyncBN2d", eps=1e-3, momentum=0.01)
+    backbone = ns_bb["SSTSecondPretrainedv1"](
+        d_model=[sst.d_model] * cfg.num_blocks,
+        nhead=[sst.nhead] * cfg.num_blocks,
+        num_blocks=cfg.num_blocks,
+        dim_feedforward=[sst.dim_feedforward] * cfg.num_blocks,
+        dropout=0.0, activation=sst.activation,
+        output_shape=tuple(voxel.grid_size),
+        conv_in_channels=cfg.second.in_channels,
+        conv_out_channels=list(cfg.second.out_channels),
+        layer_nums=list(cfg.second.layer_nums),
+        layer_strides=list(cfg.second.layer_strides),
+        norm_cfg=norm_cfg, conv_cfg=dict(type="Conv2d", bias=False),
+        debug=True, drop_info=drop_info,
+        normalize_pos=sst.normalize_pos,
+        pos_temperature=sst.pos_temperature,
+        window_shape=tuple(sst.window_shape), in_channel=None)
+    neck = ns_fpn["SECONDFPN"](
+        in_channels=list(cfg.fpn.in_channels),
+        out_channels=list(cfg.fpn.out_channels),
+        upsample_strides=list(cfg.fpn.upsample_strides),
+        norm_cfg=dict(type="BN", eps=cfg.fpn.bn_eps,
+                      momentum=cfg.fpn.bn_momentum),
+        upsample_cfg=dict(type="deconv", bias=False),
+        conv_cfg=dict(type="Conv2d", bias=False))
+    h = cfg.head
+    A = len(h.anchor_sizes) * len(h.rotations)
+    head = torch.nn.ModuleDict(dict(
+        conv_cls=torch.nn.Conv2d(h.feat_channels, A * h.num_classes, 1),
+        conv_reg=torch.nn.Conv2d(h.feat_channels, A * h.code_size, 1),
+        conv_dir_cls=torch.nn.Conv2d(h.feat_channels, A * 2, 1)))
+    return input_layer, backbone, neck, head
+
+
+def _randomize_bn(rng, module):
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.normal(0, 0.3, m.num_features).astype(np.float32)))
+                m.running_var.copy_(torch.from_numpy(
+                    (np.abs(rng.normal(0, 0.3, m.num_features)) + 0.5)
+                    .astype(np.float32)))
+                m.weight.copy_(torch.from_numpy(
+                    (rng.normal(0, 0.2, m.num_features) + 1)
+                    .astype(np.float32)))
+                m.bias.copy_(torch.from_numpy(
+                    rng.normal(0, 0.2, m.num_features).astype(np.float32)))
+
+
+def test_full_detector_forward_parity(rng):
+    from geomae_tpu.config import tiny_finetune_config
+    from geomae_tpu.models.detector import DynamicVoxelNet
+    from geomae_tpu.train.finetune import init_state
+    from geomae_tpu.train.torch_import import import_torch_weights
+
+    cfg = tiny_finetune_config()
+    B = 2
+    C = cfg.sst.d_model
+
+    input_layer, backbone, neck, head = _build_reference_finetune(cfg)
+    _randomize_bn(rng, backbone)
+    _randomize_bn(rng, neck)
+    backbone.eval(), neck.eval(), head.eval()
+
+    sd = {f"backbone.{k}": v.detach().numpy()
+          for k, v in backbone.state_dict().items()}
+    sd.update({f"neck.{k}": v.detach().numpy()
+               for k, v in neck.state_dict().items()})
+    sd.update({f"bbox_head.{k}": v.detach().numpy()
+               for k, v in head.state_dict().items()})
+
+    state, _ = init_state(cfg, B, jax.random.PRNGKey(0))
+    params, stats, report = import_torch_weights(
+        state.params, state.batch_stats, sd, "finetune")
+    assert report["unconsumed"] == [], report["unconsumed"]
+    assert all("voxel_encoder" in m for m in report["missing"]), \
+        report["missing"]
+
+    scene = _clustered_scene(rng, cfg, B)
+    feats = rng.normal(0, 0.5, (B, cfg.caps.max_voxels, C)).astype(
+        np.float32)
+    outs = DynamicVoxelNet(cfg).apply(
+        {"params": params, "batch_stats": stats}, scene, False,
+        jnp.asarray(feats))
+
+    # reference side: flat (b, 0, y, x) rows of ALL valid pillars
+    coords = np.asarray(scene.table.coords)
+    valid = np.asarray(scene.table.valid)
+    rows, rfeats = [], []
+    for b in range(B):
+        for v in np.flatnonzero(valid[b]):
+            rows.append((b, 0, coords[b, v, 0], coords[b, v, 1]))
+            rfeats.append(feats[b, v])
+    coors = torch.tensor(np.asarray(rows, np.int64))
+    with torch.no_grad():
+        tup = input_layer(
+            torch.from_numpy(np.asarray(rfeats, np.float32)), coors, B)
+        stage_outs = backbone(tup)
+        fpn_out = neck(list(stage_outs))[0]
+        r_cls = head["conv_cls"](fpn_out).numpy()
+        r_reg = head["conv_reg"](fpn_out).numpy()
+        r_dir = head["conv_dir_cls"](fpn_out).numpy()
+
+    np.testing.assert_allclose(np.moveaxis(np.asarray(outs.cls), -1, 1),
+                               r_cls, atol=3e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(outs.reg), -1, 1),
+                               r_reg, atol=3e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(outs.dir), -1, 1),
+                               r_dir, atol=3e-4, rtol=1e-4)

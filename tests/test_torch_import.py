@@ -105,7 +105,8 @@ def synth_finetune_sd(rng, cfg):
         if us > 1:
             sd[f"{base}.0.weight"] = _rand(rng, cin, cout, int(us), int(us))
         elif us == 1:
-            sd[f"{base}.0.weight"] = _rand(rng, cout, cin, 1, 1)
+            # reference: ConvTranspose2d k=1 s=1 (weight [in, out, 1, 1])
+            sd[f"{base}.0.weight"] = _rand(rng, cin, cout, 1, 1)
         else:
             s = int(round(1 / us))
             sd[f"{base}.0.weight"] = _rand(rng, cout, cin, s, s)
