@@ -115,8 +115,10 @@ class SSTConfig:
     pos_temperature: float = 10000.0
     normalize_pos: bool = False
     activation: str = "gelu"
-    # "auto": Pallas fused kernel on TPU, einsum elsewhere
-    attention_impl: str = "auto"      # "auto"|"bin"|"pallas"|"einsum"
+    # "auto": qkv Pallas kernels on TPU (in-kernel projections; measured
+    # fastest, round 4), einsum elsewhere; "band"/"pallas" = band kernels
+    # with XLA projections (fallback)
+    attention_impl: str = "auto"      # "auto"|"qkv"|"band"|"pallas"|"einsum"
     # fused out-proj+LN1+FFN+LN2 block (ops/pallas_ffn.py): "auto" uses it
     # on TPU (gelu configs, 128-aligned shapes), "xla" keeps separate ops
     ffn_impl: str = "auto"            # "auto"|"fused"|"xla"

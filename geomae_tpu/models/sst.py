@@ -70,13 +70,6 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     Returns dict(layers=[per-shift dicts], entry=(perm, inv),
     cross=[per-layer (perm, inv) or None]).
     """
-    # "bin" is opt-in: measured on v5e the padded bin layout still trails
-    # the band path on the full step (11.1 vs 12.4 samples/s) — see
-    # ARCHITECTURE.md perf ledger; "auto" therefore resolves to band.
-    want_bins = (sst is not None and voxel is not None
-                 and sst.attention_impl == "bin")
-    if want_bins:
-        return _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel)
     from ..ops.windows import positional_embedding
     layers = []
     for s_i, lay in enumerate(layouts):
@@ -109,56 +102,6 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _prepare_bin_data(layouts, pos_embeds, key_valid, sst, voxel):
-    """Shift data in the bin-packed PADDED stream layout.
-
-    Tokens live at 8-aligned-bin padded positions (``ops.windows.
-    bin_pack``, <= 6.2% dead rows); entry/cross/exit index maps are
-    injections [Vp]<->[V] with sentinel-clamped gathers — the same
-    ``_permute`` machinery moves them (real rows round-trip exactly; pad
-    rows carry garbage that attention masks by construction and the exit
-    gather never reads)."""
-    from ..ops.windows import bin_pack_batch, positional_embedding
-
-    V = key_valid.shape[-1]
-    maps, layers = [], []
-    for s_i, lay in enumerate(layouts):
-        to_pos, to_sorted, rel, bstart, blen, nb = bin_pack_batch(
-            lay.win_id, sst, voxel)
-        src = _take(lay.perm, jnp.clip(to_sorted, 0, V - 1))
-        src = jnp.where(to_sorted == INT32_MAX, INT32_MAX, src)  # [B, Vp]
-        posrow = _take(to_pos, lay.inv_perm)                     # [B, V]
-        maps.append((src, posrow))
-        win_p = _take(lay.win_id, jnp.clip(to_sorted, 0, V - 1))
-        win_p = jnp.where(to_sorted == INT32_MAX, INT32_MAX, win_p)
-        if pos_embeds is None:
-            pos_p = positional_embedding(
-                _take(lay.coors_in_win, jnp.clip(src, 0, V - 1)), sst)
-        else:
-            pos_p = _take(pos_embeds[s_i], jnp.clip(src, 0, V - 1))
-        layers.append(dict(
-            pos_sorted=pos_p,
-            win_id=win_p,
-            key_valid_sorted=win_p != INT32_MAX,
-            rel=rel, bin_start=bstart, bin_len=blen, n_bins=nb))
-    n = len(layers)
-    last = (2 - 1) % n
-    entry = maps[last]
-
-    def compose(a, b):            # padded order a -> padded order b
-        if a is b:
-            return None
-        idx_ab = _take(a[1], jnp.clip(b[0], 0, V - 1))
-        idx_ab = jnp.where(b[0] == INT32_MAX, 0, idx_ab)
-        idx_ba = _take(b[1], jnp.clip(a[0], 0, V - 1))
-        idx_ba = jnp.where(a[0] == INT32_MAX, 0, idx_ba)
-        return (idx_ab, idx_ba)
-
-    orders = [maps[0], maps[1 % n]]
-    cross = [compose(orders[-1], orders[0]), compose(orders[0], orders[1])]
-    return dict(layers=layers, entry=entry, cross=cross)
-
-
 def _is_tpu_backend() -> bool:
     try:
         d = jax.devices()[0]
@@ -170,19 +113,17 @@ def _is_tpu_backend() -> bool:
 
 def _select_attention(impl: str, layer_data: dict | None = None):
     """Pick the attention backend: "qkv" (band kernels with in-kernel
-    q/k/v projections — opt-in pending TPU measurement), "bin"
-    (bin-packed kernels), "pallas" (band kernels, projections in XLA;
-    what "auto" resolves to on TPU), or None (einsum)."""
+    q/k/v projections — what "auto" resolves to on TPU; measured v5e
+    round 4: 13.34 vs 13.13 band / 12.14 xla-ffn samples/s on the full
+    step), "pallas"/"band" (band kernels, projections in XLA — the
+    quarantined fallback), or None (einsum).  The bin-packed variant
+    (round 3) measured slower twice and was deleted."""
     if impl == "einsum":
         return None
-    has_bins = layer_data is not None and "rel" in layer_data
-    if impl == "bin" and has_bins:
-        from ..ops.pallas_binattn import bin_attention
-        return "bin", bin_attention
-    if impl == "qkv":
+    if impl == "qkv" or (impl == "auto" and _is_tpu_backend()):
         from ..ops.pallas_attention_qkv import band_attention_qkv
         return "qkv", band_attention_qkv
-    if impl in ("pallas", "bin") or (impl == "auto" and _is_tpu_backend()):
+    if impl in ("pallas", "band"):
         from ..ops.pallas_attention import band_attention_pallas
         return "band", band_attention_pallas
     return None
@@ -196,10 +137,11 @@ def _use_fused_ffn(cfg: SSTConfig, V: int, C: int) -> bool:
         return False
     if C % 128 != 0 or V % 128 != 0:
         return False
-    # "auto" stays on the XLA path until the fused block is MEASURED on
-    # real TPU (it has only run in interpret mode so far); opt in with
-    # ffn_impl="fused" for the A/B.
-    return cfg.ffn_impl == "fused"
+    if cfg.ffn_impl == "fused":
+        return True
+    # measured v5e (round 4, bench.py full step): fused 13.13 vs xla
+    # 12.14 samples/s -> "auto" resolves to the fused block on TPU
+    return _is_tpu_backend()
 
 
 class _DenseParams(nn.Module):
@@ -302,14 +244,7 @@ class WindowMHA(nn.Module):
         q = q.reshape(B, V, H, D)
         k = k.reshape(B, V, H, D)
         v = v.reshape(B, V, H, D)
-        if fused is not None and fused[0] == "bin":
-            # interpret mode off-TPU: lets CPU tests drive this path
-            from ..ops.windows import BIN_TILE
-            out = fused[1](q, k, v, layer_data["rel"],
-                           layer_data["bin_start"], layer_data["bin_len"],
-                           layer_data["n_bins"], BIN_TILE,
-                           not _is_tpu_backend())
-        elif fused is not None:
+        if fused is not None:
             # tile 256 measured 2.5x faster than 128 on v5e (fewer grid
             # steps, larger matmuls/DMAs); 512 regresses (VPU-heavy tiles)
             tile = 256 if V % 256 == 0 else 128
@@ -488,13 +423,7 @@ class GroupedWindowMHA(nn.Module):
         q = dense("q_proj")(qk_in).reshape(GB, V, H, D)
         k = dense("k_proj")(qk_in).reshape(GB, V, H, D)
         v = dense("v_proj")(x_s).reshape(GB, V, H, D)
-        if fused is not None and fused[0] == "bin":
-            from ..ops.windows import BIN_TILE
-            out = fused[1](q, k, v, layer_data["rel"],
-                           layer_data["bin_start"], layer_data["bin_len"],
-                           layer_data["n_bins"], BIN_TILE,
-                           not _is_tpu_backend())
-        elif fused is not None:
+        if fused is not None:
             tile = 256 if V % 256 == 0 else 128
             out = fused[1](q, k, v, layer_data["win_id"],
                            layer_data["key_valid_sorted"], tile)

@@ -107,145 +107,6 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
         for s in range(len(sst.shifts)))
 
 
-# ---------------------------------------------------------------------------
-# bin packing: cut the window-sorted stream into <=BIN_TILE-row bins
-# ---------------------------------------------------------------------------
-
-BIN_TILE = 512
-
-
-def win_grid_cap(sst: SSTConfig, voxel: VoxelConfig) -> int:
-    """Static upper bound on the number of windows in one sample/shift."""
-    win_x, win_y = sst.window_shape
-    ny, nx = voxel.grid_size
-    return (math.ceil(nx / win_x) + 1) * (math.ceil(ny / win_y) + 1)
-
-
-def bin_cap(v_cap: int, sst: SSTConfig, tile: int = BIN_TILE) -> int:
-    """Static bin-count bound: next-fit opens a new bin only when the
-    previous holds > tile - max_window tokens."""
-    win_x, win_y = sst.window_shape
-    min_fill = tile - win_x * win_y + 1
-    return v_cap // max(min_fill, 1) + 2
-
-
-def padded_cap(v_cap: int, sst: SSTConfig, tile: int = BIN_TILE) -> int:
-    """Static padded-stream size: every bin's end rounds up to a multiple
-    of 8 rows (Mosaic DMA sublane alignment), costing <= 7 rows per bin."""
-    return v_cap + 8 * bin_cap(v_cap, sst, tile)
-
-
-def bin_pack(win_sorted: jnp.ndarray, w_cap: int, nb_cap: int, vp: int,
-             tile: int = BIN_TILE):
-    """Next-fit pack whole windows into <= ``tile``-row bins, laid out in
-    a PADDED stream whose bins all start at multiples of 8 (one sample).
-
-    The stream is already window-sorted (``make_layout``); packing
-    chooses cut points between windows and rounds each bin's length up to
-    a multiple of 8 (Mosaic DMA sublane alignment; <= 7 dead rows per
-    bin, <= 6.2% inflation since bins hold >= tile - 143 rows).  Every
-    window lies entirely inside exactly one bin (window size <=
-    win_x*win_y <= tile), so per-bin attention is exact and drop-free.
-
-    Args:
-      win_sorted: int32 [V] ascending window ids, INT32_MAX suffix.
-      w_cap / nb_cap / vp: static caps (``win_grid_cap`` / ``bin_cap`` /
-                ``padded_cap``).
-    Returns:
-      to_pos:    int32 [V] — padded position of each sorted row
-                 (INT32_MAX for invalid rows).
-      to_sorted: int32 [vp] — sorted row at each padded position
-                 (INT32_MAX at pad rows / tail).
-      rel:       int32 [vp, 2] — the window's row range as DELTAS from
-                 the row's own in-bin offset ``o``: the range is
-                 ``[o - rel[0], o + rel[1])``.  Deltas are <= window size
-                 (144) so they stay exact through a bfloat16 carrier
-                 (absolute offsets up to the 512-row tile would round);
-                 pads/tail: [0, 0) (an empty range).
-      bin_start: int32 [nb_cap] — padded start of each bin (every value
-                 a multiple of 8; 0 beyond ``n_bins``).
-      bin_len:   int32 [nb_cap] — padded bin length (multiple of 8,
-                 <= tile; 0 beyond ``n_bins``).
-      n_bins:    int32 [].
-    """
-    from . import scatter
-
-    V = win_sorted.shape[0]
-    valid = win_sorted != INT32_MAX
-    first = valid & jnp.concatenate(
-        [jnp.ones((1,), bool), win_sorted[1:] != win_sorted[:-1]])
-    widx = jnp.cumsum(first.astype(jnp.int32)) - 1
-    widx = jnp.where(valid, widx, w_cap)
-    sizes = scatter.segment_sum(
-        valid.astype(jnp.float32)[:, None], widx, w_cap,
-        sorted_ids=True).astype(jnp.int32)[:, 0]            # [w_cap]
-
-    # next-fit over windows: the only sequential step, O(w_cap) scalar ops
-    def step(fill, s):
-        nb = (fill + s > tile) & (s > 0)
-        fill2 = jnp.where(nb, s, fill + s)
-        return fill2, nb
-
-    _, newbin = jax.lax.scan(step, jnp.int32(tile + 1), sizes, unroll=16)
-    binw = jnp.cumsum(newbin.astype(jnp.int32)) - 1          # bin per window
-    startw = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
-    idx = jnp.arange(nb_cap)
-    ohb = (binw[:, None] == idx[None, :]) & newbin[:, None]
-    s_unp = jnp.sum(jnp.where(ohb, startw[:, None], 0),
-                    axis=0).astype(jnp.int32)                # sorted starts
-    n_bins = jnp.sum(newbin).astype(jnp.int32)
-    nv = jnp.sum(valid).astype(jnp.int32)
-    nxt = jnp.where(idx < n_bins - 1,
-                    jnp.concatenate([s_unp[1:], s_unp[-1:]]), nv)
-    lb = jnp.where(idx < n_bins, nxt - s_unp, 0)             # real rows
-    lp = ((lb + 7) // 8) * 8                                 # padded rows
-    s_pad = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(lp)[:-1]])           # mult of 8
-    s_pad = jnp.where(idx < n_bins, s_pad, 0).astype(jnp.int32)
-
-    # per-row padded position: shift by the padding of earlier bins
-    s_cmp = jnp.where(idx < n_bins, s_unp, INT32_MAX)
-    rows = jnp.arange(V, dtype=jnp.int32)
-    bin_r = jnp.sum(rows[:, None] >= s_cmp[None, :], axis=1) - 1
-    bin_r = jnp.clip(bin_r, 0, nb_cap - 1)
-    to_pos = jnp.where(valid,
-                       rows + jnp.take(s_pad - s_unp, bin_r), INT32_MAX)
-
-    # inverse map + per-position window range
-    sp_cmp = jnp.where(idx < n_bins,
-                       jnp.cumsum(jnp.concatenate(
-                           [jnp.zeros((1,), jnp.int32), lp[:-1]])),
-                       INT32_MAX)
-    ppos = jnp.arange(vp, dtype=jnp.int32)
-    bin_p = jnp.sum(ppos[:, None] >= sp_cmp[None, :], axis=1) - 1
-    ok_bin = bin_p >= 0
-    bin_p = jnp.clip(bin_p, 0, nb_cap - 1)
-    off = ppos - jnp.take(s_pad, bin_p)
-    r_of_p = jnp.take(s_unp, bin_p) + off
-    ok = ok_bin & (off < jnp.take(lb, bin_p))
-    to_sorted = jnp.where(ok, r_of_p, INT32_MAX)
-
-    relw = startw - jnp.take(s_unp, jnp.clip(binw, 0, nb_cap - 1))
-    tbl = jnp.stack([relw, relw + sizes], axis=-1)           # [w_cap, 2]
-    tbl = jnp.concatenate([tbl, jnp.zeros((1, 2), jnp.int32)], axis=0)
-    rel_r = jnp.take(tbl, jnp.minimum(widx, w_cap), axis=0)  # [V, 2] abs
-    rel_p = jnp.take(rel_r, jnp.clip(r_of_p, 0, V - 1), axis=0)
-    deltas = jnp.stack([off - rel_p[:, 0], rel_p[:, 1] - off], axis=-1)
-    rel = jnp.where(ok[:, None], deltas, 0)
-    return to_pos, to_sorted, rel, s_pad, lp.astype(jnp.int32), n_bins
-
-
-def bin_pack_batch(win_sorted: jnp.ndarray, sst: SSTConfig,
-                   voxel: VoxelConfig, tile: int = BIN_TILE):
-    """Batched :func:`bin_pack` ([B, V] -> per-sample padded layouts)."""
-    V = win_sorted.shape[-1]
-    w_cap = min(win_grid_cap(sst, voxel), V)
-    nb_cap = bin_cap(V, sst, tile)
-    vp = padded_cap(V, sst, tile)
-    return jax.vmap(lambda w: bin_pack(w, w_cap, nb_cap, vp, tile))(
-        win_sorted)
-
 
 def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,
                          dtype=jnp.float32) -> jnp.ndarray:

@@ -78,6 +78,35 @@ def browse_dataset(args):
               f"{pts[:,2].max():.1f}] sweeps dt max {pts[:,4].max():.2f}s")
 
 
+def visualize_results(args):
+    """Run inference on N frames and dump .obj/.png visualizations (the
+    reference ``tools/misc/visualize_results.py`` + ``show_result`` role;
+    synthetic scenes when no dataset is given)."""
+    import numpy as np
+
+    import jax
+
+    from geomae_tpu.apis import Detector3D
+    from geomae_tpu.core.visualize import show_result
+
+    cfg = C.tiny_finetune_config() if args.tiny else C.geomae_finetune_nus()
+    det = Detector3D(cfg, args.ckpt_dir)
+    rng = np.random.default_rng(0)
+    r = cfg.voxel.point_cloud_range
+    for i in range(args.n):
+        P = cfg.caps.max_points
+        pts = rng.uniform([r[0], r[1], r[2], 0, 0],
+                          [r[3], r[4], r[5], 1, 0.4],
+                          (P, 5)).astype(np.float32)
+        out = det(pts)
+        sel = out["scores"] >= args.score_thr
+        written = show_result(pts[:, :3], None, out["boxes"][sel],
+                              args.out_dir, f"frame{i:04d}",
+                              scores=out["scores"][sel])
+        print(f"frame{i:04d}: {int(sel.sum())} boxes -> "
+              + ", ".join(written.values()))
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -96,9 +125,16 @@ def main():
     bd.add_argument("--data-root", default="data/nuscenes")
     bd.add_argument("--ann-file", default="nuscenes_ssl_infos_train.pkl")
     bd.add_argument("-n", type=int, default=5)
+    vr = sub.add_parser("visualize_results")
+    vr.add_argument("--ckpt-dir", default=None)
+    vr.add_argument("--out-dir", default="viz")
+    vr.add_argument("--tiny", action="store_true")
+    vr.add_argument("--score-thr", type=float, default=0.3)
+    vr.add_argument("-n", type=int, default=2)
     args = p.parse_args()
     dict(print_config=print_config, publish_model=publish_model,
-         analyze_logs=analyze_logs, browse_dataset=browse_dataset)[args.cmd](args)
+         analyze_logs=analyze_logs, browse_dataset=browse_dataset,
+         visualize_results=visualize_results)[args.cmd](args)
 
 
 if __name__ == "__main__":
