@@ -73,16 +73,32 @@ class Trainer:
         for k, v in collect_env().items():
             self.logger.info("env %s: %s", k, v)
 
+    def _prefetch(self, it, depth: int = 2):
+        """Double-buffered device transfer (the reference's DataLoader
+        worker prefetch, SURVEY.md §5 long-pole note).
+
+        ``device_put`` only *enqueues* the H2D copy, so pushing the next
+        batch before the current step's result is consumed overlaps the
+        transfer with device compute instead of serializing behind it.
+        """
+        import collections
+        q = collections.deque()
+        for batch in it:
+            q.append(jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._bsh), batch))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     def run(self):
         step = int(self.state.step)
         while step < self.total_steps:
             made_progress = False
-            for batch in self.loader:
+            for batch in self._prefetch(iter(self.loader)):
                 made_progress = True
                 if step >= self.total_steps:
                     break
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self._bsh), batch)
                 if self.with_rng:
                     self.rng, k = jax.random.split(self.rng)
                     self.state, metrics = self.step_fn(self.state, batch, k)
