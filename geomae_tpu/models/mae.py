@@ -121,6 +121,22 @@ def _centered_vals4(scene: Scene, v_cap: int):
     return mu, vals4
 
 
+def _centered_vals4_t(scene: Scene, v_cap: int):
+    """Channel-major twin of :func:`_centered_vals4`: (mu [B, 3],
+    vals4_t [B, 4, P]) — point streams never materialize in the
+    lane-padded [B, P, small-C] layout (537 MB at bench shapes)."""
+    p2v = scene.table.point2voxel
+    valid = (scene.valid & (p2v < v_cap))[:, None, :]          # [B, 1, P]
+    zyx = jnp.swapaxes(scene.points, 1, 2)[:, :3][:, ::-1] \
+        .astype(jnp.float32)                                   # [B, 3, P]
+    nvalid = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)
+    mu = jnp.sum(jnp.where(valid, zyx, 0), axis=-1) / nvalid[:, None]
+    vals4 = jnp.concatenate(
+        [jnp.where(valid, zyx - mu[..., None], 0),
+         valid.astype(jnp.float32)], axis=1)
+    return mu, vals4
+
+
 def compute_targets(scene: Scene, cfg: PretrainConfig,
                     sums=None, mu=None) -> GeoMAETargets:
     """Pure target computation for one sample (vmap over batch).
@@ -265,11 +281,21 @@ def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
     auto-detection (tests force it through interpret mode)."""
     v_cap = scene.table.valid.shape[-1]
     if _targets_use_pallas(scene, use_pallas):
-        from ..ops.pallas_segreduce import slot_outer_segment_sum_pallas
-        mu, vals4 = _centered_vals4(scene, v_cap)
-        sums = slot_outer_segment_sum_pallas(
-            vals4, scene.slot_sort, scene.table.point2voxel,
-            cfg.voxel.num_slots_low, v_cap)
+        s_low = cfg.voxel.num_slots_low
+        if s_low * 4 <= 128:
+            # channel-major input build + kernel: the row-major vals4
+            # [B, P, 4] pads its lane dim to 128 (537 MB at bench shapes)
+            from ..ops.pallas_segreduce_t import slot_outer_segment_sum_t
+            mu, vals4_t = _centered_vals4_t(scene, v_cap)
+            sums = slot_outer_segment_sum_t(
+                vals4_t, scene.slot_sort, scene.table.point2voxel,
+                s_low, v_cap)
+        else:
+            from ..ops.pallas_segreduce import slot_outer_segment_sum_pallas
+            mu, vals4 = _centered_vals4(scene, v_cap)
+            sums = slot_outer_segment_sum_pallas(
+                vals4, scene.slot_sort, scene.table.point2voxel,
+                s_low, v_cap)
         return jax.vmap(lambda s, sm, m: compute_targets(s, cfg, sm, m))(
             scene, sums, mu)
     return jax.vmap(lambda s: compute_targets(s, cfg))(scene)

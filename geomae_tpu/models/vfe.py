@@ -153,6 +153,99 @@ def _gather_b(table, idx):
     return jax.vmap(scatter.take_rows_sorted)(table, idx)
 
 
+def _use_transposed(P: int, dtype) -> bool:
+    """Channel-major [B, C, P] pipeline gate (GEOMAE_VFE_T=0 disables).
+
+    TPU tiles the two minor dims to (8, 128): a row-major [B, P, C<=16]
+    point tensor pads C to 128 LANES, so [4, 262144, 3] f32 physically
+    occupies 537 MB and the VFE's decoration chain measured 23.5 ms of
+    pure padding traffic on v5e (tools/profile_vfe.py, round 4).  The
+    transposed path puts C on sublanes (pad 3 -> 8) and P on lanes, uses
+    the ``ops/pallas_segreduce_t`` kernels, and needs bf16 compute for
+    the exact max routing (same condition as :func:`_pallas_max_dtype_ok`).
+    """
+    import os
+    if os.environ.get("GEOMAE_VFE_T") == "0":
+        return False
+    from .sst import _is_tpu_backend
+    return _is_tpu_backend() and P % _SEG_CHUNK == 0
+
+
+class MaskedBatchNormT(nn.Module):
+    """Channel-major twin of :class:`~geomae_tpu.models.norm.MaskedBatchNorm`
+    — identical param/batch_stats tree, ``x`` is [B, C, P], mask [B, P]."""
+
+    features: int
+    momentum: float = 0.01
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,),
+                                                  jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,),
+                                                jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        xf = x.astype(jnp.float32)
+        if train:
+            m = mask.astype(jnp.float32)[:, None, :]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            xm = xf * m
+            mean = jnp.sum(xm, axis=(0, 2)) / cnt
+            var = jnp.maximum(
+                jnp.sum(xm * xf, axis=(0, 2)) / cnt - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        a = (scale * inv).astype(x.dtype)[None, :, None]
+        b = ((bias - mean * scale * inv)
+             .astype(x.dtype))[None, :, None]
+        return x * a + b
+
+
+class TransposedDense(nn.Module):
+    """Channel-major Dense twin — same param tree as ``nn.Dense`` (kernel
+    [Cin, Cout] at ``<name>/kernel``), input/output [B, C, P]."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kern = self.param("kernel", torch_linear_init,
+                          (x.shape[1], self.features))
+        return jnp.einsum("co,bcp->bop", kern.astype(self.dtype),
+                          x.astype(self.dtype))
+
+
+class DynamicVFELayerT(nn.Module):
+    """Channel-major twin of :class:`DynamicVFELayer` (same param tree)."""
+
+    out_channels: int
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        x = TransposedDense(self.out_channels, self.dtype,
+                            name="linear")(x)
+        x = MaskedBatchNormT(self.out_channels, self.bn_momentum,
+                             self.bn_eps, name="norm")(x, mask, train)
+        return nn.relu(x)
+
+
 class DynamicVFELayer(nn.Module):
     """Linear (no bias) + masked SyncBN + ReLU (reference utils.py:107-146)."""
 
@@ -186,6 +279,10 @@ class DynamicScatterVFE(nn.Module):
         v_cap = table.valid.shape[-1]
         p2v = table.point2voxel
         xyz = points[..., :3]
+
+        if (_use_transposed(points.shape[1], self.dtype)
+                and jnp.dtype(self.dtype) == jnp.bfloat16):
+            return self._forward_t(scene, train)
 
         feats = [points]
         if self.cfg.with_cluster_center:
@@ -236,3 +333,67 @@ class DynamicScatterVFE(nn.Module):
                 vmax = _seg_max_b(x, p2v, v_cap, point_valid, table.valid)
 
         return jnp.where(table.valid[..., None], vmax, 0.0)
+
+    def _forward_t(self, scene: Scene, train: bool) -> jnp.ndarray:
+        """Channel-major pipeline (see :func:`_use_transposed`): identical
+        math/params to the row-major branch, point tensors as [B, C, P]."""
+        from ..ops.pallas_segreduce_t import (segment_broadcast_t,
+                                              segment_reduce_t)
+
+        table = scene.table
+        v_cap = table.valid.shape[-1]
+        p2v = table.point2voxel
+        pv = scene.valid
+        pvn = pv[:, None, :]
+        pts_t = jnp.swapaxes(scene.points, 1, 2)       # [B, 5, P]
+        xyz_t = pts_t[:, :3]
+
+        feats = [pts_t]
+        if self.cfg.with_cluster_center:
+            d = jnp.where(pvn, xyz_t, 0.0).astype(jnp.float32)
+            pmean = segment_broadcast_t(d, p2v, v_cap, "mean", _SEG_CHUNK)
+            feats.append(xyz_t - pmean.astype(pts_t.dtype))
+        if self.cfg.with_voxel_center:
+            # per-axis low_voxel_coords formula (ops/voxelize.py:84-95)
+            r = self.voxel.point_cloud_range
+            vx, vy, vz = self.voxel.voxel_size
+            _, ry, rx = self.voxel.sub_voxel_ratio_low
+            ny, nx = self.voxel.grid_size
+            px_t, py_t = pts_t[:, 0:1], pts_t[:, 1:2]
+            lx = jnp.clip(jnp.floor(
+                (px_t.astype(jnp.float32) - r[0]) / (vx / rx)
+            ).astype(jnp.int32), 0, nx * rx - 1)
+            ly = jnp.clip(jnp.floor(
+                (py_t.astype(jnp.float32) - r[1]) / (vy / ry)
+            ).astype(jnp.int32), 0, ny * ry - 1)
+            incap = (p2v < v_cap)[:, None, :]
+            pyc = jnp.where(incap, ly // ry, 0).astype(pts_t.dtype)
+            pxc = jnp.where(incap, lx // rx, 0).astype(pts_t.dtype)
+            fc = jnp.concatenate([
+                px_t - (pxc * vx + (vx / 2 + r[0])),
+                py_t - (pyc * vy + (vy / 2 + r[1])),
+                pts_t[:, 2:3] - (vz / 2 + r[2]),
+            ], axis=1)
+            feats.append(fc)
+        if self.cfg.with_distance:
+            feats.append(jnp.linalg.norm(xyz_t, axis=1, keepdims=True))
+        x = jnp.concatenate(feats, axis=1)
+        x = jnp.where(pvn, x, 0.0).astype(self.dtype)
+        x = jax.lax.stop_gradient(x)
+
+        neutral = jnp.asarray(-3.0e38, self.dtype)
+        chans = list(self.cfg.feat_channels)
+        for i, ch in enumerate(chans):
+            x = DynamicVFELayerT(ch, self.cfg.bn_eps, self.cfg.bn_momentum,
+                                 self.dtype, name=f"vfe_{i}")(x, pv, train)
+            if i != len(chans) - 1:
+                d = jnp.where(pvn, x, neutral)
+                mb = segment_broadcast_t(d, p2v, v_cap, "max", _SEG_CHUNK)
+                mb = jnp.where(pvn, mb, 0).astype(self.dtype)
+                x = jnp.concatenate([x, mb], axis=1)
+            else:
+                d = jnp.where(pvn, x, neutral)
+                vmax = segment_reduce_t(d, p2v, v_cap, True, _SEG_CHUNK)
+                vmax = jnp.where(table.valid[:, None, :], vmax, 0.0)
+
+        return jnp.swapaxes(vmax, 1, 2).astype(self.dtype)
