@@ -281,21 +281,13 @@ def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
     auto-detection (tests force it through interpret mode)."""
     v_cap = scene.table.valid.shape[-1]
     if _targets_use_pallas(scene, use_pallas):
-        s_low = cfg.voxel.num_slots_low
-        if s_low * 4 <= 128:
-            # channel-major input build + kernel: the row-major vals4
-            # [B, P, 4] pads its lane dim to 128 (537 MB at bench shapes)
-            from ..ops.pallas_segreduce_t import slot_outer_segment_sum_t
-            mu, vals4_t = _centered_vals4_t(scene, v_cap)
-            sums = slot_outer_segment_sum_t(
-                vals4_t, scene.slot_sort, scene.table.point2voxel,
-                s_low, v_cap)
-        else:
-            from ..ops.pallas_segreduce import slot_outer_segment_sum_pallas
-            mu, vals4 = _centered_vals4(scene, v_cap)
-            sums = slot_outer_segment_sum_pallas(
-                vals4, scene.slot_sort, scene.table.point2voxel,
-                s_low, v_cap)
+        # channel-major input build + kernel: the row-major vals4
+        # [B, P, 4] pads its lane dim to 128 (537 MB at bench shapes)
+        from ..ops.pallas_segreduce_t import slot_outer_segment_sum_t
+        mu, vals4_t = _centered_vals4_t(scene, v_cap)
+        sums = slot_outer_segment_sum_t(
+            vals4_t, scene.slot_sort, scene.table.point2voxel,
+            cfg.voxel.num_slots_low, v_cap)
         return jax.vmap(lambda s, sm, m: compute_targets(s, cfg, sm, m))(
             scene, sums, mu)
     return jax.vmap(lambda s: compute_targets(s, cfg))(scene)

@@ -386,9 +386,11 @@ segment_broadcast_t.defvjp(_bcast_t_fwd, _bcast_t_bwd)
 
 
 def _slot_kernel_t(meta_ref, vals_ref, idl_ref, slotl_ref,
-                   out_hbm, acc, sem, *, chunk, cv, sc_dim, split):
+                   out_hbm, acc, sem, *, chunk, cv, sc_dim, group_slots,
+                   split):
     b = pl.program_id(0)
-    i = pl.program_id(1)
+    g = pl.program_id(1)
+    i = pl.program_id(2)
     W = chunk + _LANE
 
     @pl.when(i == 0)
@@ -401,10 +403,13 @@ def _slot_kernel_t(meta_ref, vals_ref, idl_ref, slotl_ref,
     start = meta_ref[b, i] * _LANE                # provably aligned
     Eg = _eg(seg_l, start, chunk)                 # [W, chunk]
 
-    # OH[s*cv + c, t] = vals[c, t] * (slot[t] == s): the outer product
-    # lives in VMEM only, sublane-major, built from lane-oriented operands
+    # OH[s_local*cv + c, t] = vals[c, t] * (slot[t] == g*group + s_local):
+    # the outer product lives in VMEM only, sublane-major, built from
+    # lane-oriented operands; slot groups ride grid dim g so the resident
+    # table stays <= [128, rows]
     sc = jax.lax.broadcasted_iota(jnp.int32, (sc_dim, chunk), 0)
-    s_of = (sc // cv).astype(jnp.float32)
+    s_of = (sc // cv).astype(jnp.float32) + (g * group_slots).astype(
+        jnp.float32)
     sel = (slot_l == s_of)                        # [sc_dim, chunk]
 
     def oh_of(off):
@@ -419,9 +424,10 @@ def _slot_kernel_t(meta_ref, vals_ref, idl_ref, slotl_ref,
         Wv = Wv + _dot_t(oh_of(cv), Eg)
     acc[:, pl.ds(start, W)] = acc[:, pl.ds(start, W)] + Wv
 
-    @pl.when(i == pl.num_programs(1) - 1)
+    @pl.when(i == pl.num_programs(2) - 1)
     def _():
-        cp = pltpu.make_async_copy(acc, out_hbm.at[b], sem)
+        cp = pltpu.make_async_copy(
+            acc, out_hbm.at[b, pl.ds(g * sc_dim, sc_dim), :], sem)
         cp.start()
         cp.wait()
 
@@ -432,12 +438,15 @@ def slot_outer_segment_sum_t(vals, slot, seg_ids, num_slots: int,
     """Channel-major twin of ``pallas_segreduce.slot_outer_segment_sum_
     pallas``: ``out[b, v, s, c] = sum_t vals[b, c, t] (seg==v)(slot==s)``
     with ``vals`` [B, cv, P].  Same return shape/order ([B, V, S, cv]
-    f32) so the two are drop-in interchangeable.  Requires
-    ``num_slots * cv <= 128`` (the GeoMAE tables: 8 slots x 4 ch = 32)."""
+    f32) so the two are drop-in interchangeable.  Slot groups of
+    ``128 // cv`` ride an extra grid dimension (GeoMAE production:
+    128 slots x 4 ch = 4 groups of 32)."""
     B, cv, P = vals.shape
     assert P % chunk == 0, (P, chunk)
-    sc_dim = num_slots * cv
-    assert sc_dim <= 128, (num_slots, cv)
+    group_slots = max(min(128 // cv, num_slots), 1)
+    assert num_slots % group_slots == 0, (num_slots, cv)
+    n_groups = num_slots // group_slots
+    sc_dim = group_slots * cv
     split = jnp.dtype(vals.dtype) == jnp.float32
     xin = vals.astype(jnp.float32)
     if split:
@@ -451,17 +460,18 @@ def slot_outer_segment_sum_t(vals, slot, seg_ids, num_slots: int,
     sc_pad = max(((sc_dim + 7) // 8) * 8, 8)
 
     kern = functools.partial(_slot_kernel_t, chunk=chunk, cv=cv,
-                             sc_dim=sc_pad, split=split)
+                             sc_dim=sc_pad, group_slots=group_slots,
+                             split=split)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, P // chunk),
+        grid=(B, n_groups, P // chunk),
         in_specs=[
             pl.BlockSpec((1, xin.shape[1], chunk),
-                         lambda b, i, *_: (b, 0, i),
+                         lambda b, g, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda b, i, *_: (b, 0, i),
+            pl.BlockSpec((1, 1, chunk), lambda b, g, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda b, i, *_: (b, 0, i),
+            pl.BlockSpec((1, 1, chunk), lambda b, g, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -473,11 +483,14 @@ def slot_outer_segment_sum_t(vals, slot, seg_ids, num_slots: int,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, sc_pad, rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_groups * sc_pad, rows),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, xin, idl, slotl)
-    out = out[:, :sc_dim, :num_segments]          # [B, S*cv, V]
-    return out.reshape(B, num_slots, cv, num_segments).transpose(0, 3, 1, 2)
+    out = out.reshape(B, n_groups, sc_pad, rows)[:, :, :sc_dim,
+                                                 :num_segments]
+    out = out.reshape(B, num_slots, cv, num_segments)
+    return out.transpose(0, 3, 1, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -159,11 +159,11 @@ def test_gather_t_vjp(rng):
     np.testing.assert_allclose(dt, want, rtol=1e-4, atol=1e-4)
 
 
-def test_slot_outer_t_matches_rowmajor(rng):
+@pytest.mark.parametrize("nslots", [8, 128])  # 128 -> 4 slot groups
+def test_slot_outer_t_matches_rowmajor(rng, nslots):
     from geomae_tpu.ops.pallas_segreduce import slot_outer_segment_sum_pallas
     from geomae_tpu.ops.pallas_segreduce_t import slot_outer_segment_sum_t
     x, ids, S = make_case(rng, B=2, P=1024, C=4)
-    nslots = 8
     slot = jnp.asarray(
         np.random.default_rng(3).integers(0, nslots, ids.shape)
         .astype(np.int32))
