@@ -431,8 +431,245 @@ def _dkv_kernel(nv_ref, aux_t_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
             pltpu.make_async_copy(acc, out.at[g], fsems.at[j]).wait()
 
 
+def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
+                       wk_ref, bk_ref, wv_ref, bv_ref, x_hbm, p_hbm,
+                       aux_hbm, dxq_ref, dkv_hbm, dwq_ref, dbq_ref,
+                       dwk_ref, dbk_ref, dwv_ref, dbv_ref, xbuf, pbuf,
+                       auxbuf, acc, wq_acc, bq_acc, wk_acc, bk_acc,
+                       wv_acc, bv_acc, sems, fsems, dsem, *, tile, pad,
+                       width, nheads, head_dim, bb, pad_r, wacc):
+    """ONE pass over query tiles producing dq AND banded dk/dv (projected
+    to dx-space immediately and accumulated in a VMEM-resident table) AND
+    all six weight grads.
+
+    vs. the split dq/dkv pair: the softmax (s, exp, ds) is recomputed
+    ONCE instead of twice, the x/pos bands stream once instead of twice,
+    and the dkv kernel's transposed stats/do bands disappear entirely —
+    the center tile's do/stats rows serve both directions.  dk/dv land as
+    dx contributions: token t's window rows are [t + pad_r) with tile-
+    aligned window starts (start = i*tile, in-window offset pad_r - pad),
+    so every dynamic sublane offset is provably aligned; each token
+    receives ~width/tile bf16 adds (cotangent-grade rounding)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    start = i * tile
+    l = b * nt + i
+    slot = jax.lax.rem(l, 2)
+    cur_valid = start < nv_ref[b]
+
+    @pl.when((jax.lax.rem(b, bb) == 0) & (i == 0))
+    def _():
+        for a in (wq_acc, bq_acc, wk_acc, bk_acc, wv_acc, bv_acc):
+            a[...] = jnp.zeros_like(a)
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    def issue(bbi, ss, sl):
+        pltpu.make_async_copy(
+            x_hbm.at[bbi, pl.ds(ss, width), :], xbuf.at[sl],
+            sems.at[sl, 0]).start()
+        pltpu.make_async_copy(
+            p_hbm.at[bbi, pl.ds(ss, width), :], pbuf.at[sl],
+            sems.at[sl, 1]).start()
+        pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(bbi, 1), :, pl.ds(ss, width)], auxbuf.at[sl],
+            sems.at[sl, 2]).start()
+
+    @pl.when((l == 0) & cur_valid)
+    def _():
+        issue(b, start, slot)
+
+    nb = b + (i + 1) // nt
+    ni = jax.lax.rem(i + 1, nt)
+    next_exists = l + 1 < pl.num_programs(0) * nt
+    next_valid = next_exists & (ni * tile < nv_ref[
+        jnp.minimum(nb, pl.num_programs(0) - 1)])
+
+    @pl.when(next_valid)
+    def _():
+        issue(nb, ni * tile, 1 - slot)
+
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        dxq_ref[...] = jnp.zeros_like(dxq_ref)
+
+    @pl.when(cur_valid)
+    def _():
+        for j in range(3):
+            buf = (xbuf, pbuf, auxbuf)[j]
+            pltpu.make_async_copy(buf.at[slot], buf.at[slot],
+                                  sems.at[slot, j]).wait()
+        xb = xbuf[slot]
+        dt = xb.dtype
+        qk_b = xb + pbuf[slot]
+        kb = _proj(qk_b, wk_ref, bk_ref, dt)            # [width, C]
+        vb = _proj(xb, wv_ref, bv_ref, dt)
+        qk_t = qk_b[pad:pad + tile]
+        qt = _proj(qk_t, wq_ref, bq_ref, dt)            # [tile, C]
+        do = do_ref[0]                                  # [tile, C]
+
+        wink = auxbuf[slot, 0, 0:1, :]
+        kvk = auxbuf[slot, 0, 1:2, :]
+        winq = st_ref[0, :, 3 * nheads:3 * nheads + 1]   # packed channel
+        mask = (winq == wink) & (kvk > 0.5)
+        bias = jnp.where(mask, 0.0, _NEG)
+
+        scale = 1.0 / (head_dim ** 0.5)
+        # every part lands in the compute dtype immediately — the concat
+        # temporaries in f32 were the difference between fitting and
+        # missing the 16 MB scoped-VMEM budget (f32 grad accumulators
+        # keep full precision; bf16 parts are cotangent-grade)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(nheads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            m = st_ref[0, :, h:h + 1]
+            lrow = st_ref[0, :, nheads + h:nheads + h + 1]
+            inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
+            dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
+            s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+            p = jnp.exp(s - m) * inv_l                  # [tile, width]
+            dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
+            ds = p * (dp - dvo)
+            dsc = ds.astype(dt)
+            dq_parts.append((_dot(dsc, kb[:, sl], ((1,), (0,)))
+                             * scale).astype(dt))
+            dv_parts.append(_dot(p.astype(dt), do[:, sl],
+                                 ((0,), (0,))).astype(dt))
+            dk_parts.append((_dot(dsc, qt[:, sl], ((0,), (0,)))
+                             * scale).astype(dt))
+        dqc = jnp.concatenate(dq_parts, axis=1)         # [tile, C] dt
+        dkc = jnp.concatenate(dk_parts, axis=1)         # [width, C] dt
+        dvc = jnp.concatenate(dv_parts, axis=1)
+
+        dxq_ref[0] = _dot(dqc, wq_ref[0], ((1,), (1,))).astype(dt)
+        wq_acc[...] += _dot(qk_t, dqc, ((0,), (0,)))
+        bq_acc[...] += jnp.sum(dqc.astype(jnp.float32), axis=0,
+                               keepdims=True)
+
+        wk_acc[...] += _dot(qk_b, dkc, ((0,), (0,)))
+        bk_acc[...] += jnp.sum(dkc.astype(jnp.float32), axis=0,
+                               keepdims=True)
+        wv_acc[...] += _dot(xb, dvc, ((0,), (0,)))
+        bv_acc[...] += jnp.sum(dvc.astype(jnp.float32), axis=0,
+                               keepdims=True)
+
+        dxkv = (_dot(dkc, wk_ref[0], ((1,), (1,)))
+                + _dot(dvc, wv_ref[0], ((1,), (1,)))).astype(acc.dtype)
+        off = pad_r - pad
+        contrib = jnp.pad(dxkv, ((off, wacc - off - width), (0, 0)))
+        win = acc[pl.ds(start, wacc), :]
+        acc[pl.ds(start, wacc), :] = win + contrib
+
+    @pl.when(i == nt - 1)
+    def _():
+        cp = pltpu.make_async_copy(acc, dkv_hbm.at[b], dsem)
+        cp.start()
+        cp.wait()
+
+    @pl.when((jax.lax.rem(b, bb) == bb - 1) & (i == nt - 1))
+    def _():
+        g = b // bb
+        accs = (wq_acc, bq_acc, wk_acc, bk_acc, wv_acc, bv_acc)
+        outs = (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref)
+        for j, (a, o) in enumerate(zip(accs, outs)):
+            pltpu.make_async_copy(a, o.at[g], fsems.at[j]).start()
+        for j, (a, o) in enumerate(zip(accs, outs)):
+            pltpu.make_async_copy(a, o.at[g], fsems.at[j]).wait()
+
+
+def _pallas_backward_merged(x, pos, wq, bq, wk, bk, wv, bv, win_id,
+                            key_valid, out, stats, g_out, nheads, tile,
+                            pad, interpret):
+    B, V, C = x.shape
+    G = wq.shape[0]
+    bb = B // G
+    nt = V // tile
+    width = tile + 2 * pad
+    f = jnp.float32
+    H = nheads
+    D = C // H
+
+    xp, pp, aux, win_f = _band_inputs_x(x, pos, win_id, key_valid, pad)
+    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    dvo = jnp.einsum("bvhd,bvhd->bvh", g_out.reshape(B, V, H, D),
+                     out.reshape(B, V, H, D),
+                     preferred_element_type=jnp.float32)
+    # winq rides as stats channel 3H (a separate [B, V, 1] f32 block
+    # pads its lane dim to 128 in VMEM — 0.26 MB of pure padding)
+    stats3 = jnp.concatenate([stats, dvo, win_f[:, :, None]],
+                             axis=-1)                    # [B, V, 3H+1]
+    ws = _prep_w(x.dtype, wq, bq, wk, bk, wv, bv)
+
+    pad_r = ((pad + tile - 1) // tile) * tile
+    wacc = ((pad_r - pad + width + 15) // 16) * 16
+    rows_acc = ((V - tile + wacc + 15) // 16) * 16
+
+    kern = functools.partial(_bwd_merged_kernel, tile=tile, pad=pad,
+                             width=width, nheads=H, head_dim=D, bb=bb,
+                             pad_r=pad_r, wacc=wacc)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    tok = lambda c: pl.BlockSpec((1, tile, c), lambda b, i, *_: (b, i, 0),
+                                 memory_space=pltpu.VMEM)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[tok(C), tok(3 * H + 1)] + _grp_specs(C, bb) +
+                 [anyspec, anyspec, anyspec],
+        out_specs=(tok(C), anyspec, anyspec, anyspec, anyspec, anyspec,
+                   anyspec, anyspec),
+        scratch_shapes=[
+            pltpu.VMEM((2, width, C), x.dtype),
+            pltpu.VMEM((2, width, C), x.dtype),
+            pltpu.VMEM((2, 1, 2, width), f),
+            pltpu.VMEM((rows_acc, C), x.dtype),
+            pltpu.VMEM((C, C), f),
+            pltpu.VMEM((1, C), f),
+            pltpu.VMEM((C, C), f),
+            pltpu.VMEM((1, C), f),
+            pltpu.VMEM((C, C), f),
+            pltpu.VMEM((1, C), f),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dxq, dkv, dwq, dbq, dwk, dbk, dwv, dbv = pl.pallas_call(
+        kern,
+        grid_spec=grid,
+        out_shape=(jax.ShapeDtypeStruct((B, V, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, rows_acc, C), x.dtype),
+                   jax.ShapeDtypeStruct((G, C, C), f),
+                   jax.ShapeDtypeStruct((G, 1, C), f),
+                   jax.ShapeDtypeStruct((G, C, C), f),
+                   jax.ShapeDtypeStruct((G, 1, C), f),
+                   jax.ShapeDtypeStruct((G, C, C), f),
+                   jax.ShapeDtypeStruct((G, 1, C), f)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(nv, g_out, stats3, *ws, xp, pp, aux)
+
+    dx = dxq + dkv[:, pad_r:pad_r + V]
+    return dx, dwq, dbq[:, 0], dwk, dbk[:, 0], dwv, dbv[:, 0]
+
+
 def _pallas_backward(x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid,
                      out, stats, g_out, nheads, tile, pad, interpret):
+    import os
+    if os.environ.get("GEOMAE_ATTN_BWD") != "split":
+        return _pallas_backward_merged(
+            x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid, out,
+            stats, g_out, nheads, tile, pad, interpret)
+    return _pallas_backward_split(
+        x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid, out, stats,
+        g_out, nheads, tile, pad, interpret)
+
+
+def _pallas_backward_split(x, pos, wq, bq, wk, bk, wv, bv, win_id,
+                           key_valid, out, stats, g_out, nheads, tile,
+                           pad, interpret):
     B, V, C = x.shape
     G = wq.shape[0]
     bb = B // G

@@ -498,15 +498,25 @@ def slot_outer_segment_sum_t(vals, slot, seg_ids, num_slots: int,
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel_t(meta_ref, tab_ref, idl_ref, out_ref, *, chunk,
-                     num_segments, split):
+def _gather_kernel_t(meta_ref, tab_hbm, idl_ref, out_ref, tbl, sem, *,
+                     chunk, num_segments, split):
     b = pl.program_id(0)
     i = pl.program_id(1)
     W = chunk + _LANE
+
+    # resident table loads ONCE per batch row into scratch — a pipelined
+    # input block would be double-buffered (2 x ~10.8 MB at [128, 21k]
+    # exceeds the 16 MB scoped-VMEM budget inside a fused train step)
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(tab_hbm.at[b], tbl, sem)
+        cp.start()
+        cp.wait()
+
     start = meta_ref[b, i] * _LANE                      # provably aligned
     seg_l = idl_ref[0]                                  # [1, chunk]
     Eg = _eg(seg_l, start, chunk)                       # [W, chunk]
-    window = tab_ref[0, :, pl.ds(start, W)].astype(jnp.float32)
+    window = tbl[:, pl.ds(start, W)].astype(jnp.float32)
     if split:
         c = window * 65537.0
         w_hi = c - (c - window)
@@ -536,18 +546,22 @@ def _gather_forward_t(table, seg_ids, chunk):
         num_scalar_prefetch=1,
         grid=(B, P // chunk),
         in_specs=[
-            pl.BlockSpec((1, Cp, rows), lambda b, i, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, chunk), lambda b, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Cp, chunk), lambda b, i, *_: (b, 0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Cp, rows), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Cp, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, tab, idl)
     return out[:, :C].astype(dtype)
 

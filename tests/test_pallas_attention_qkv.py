@@ -128,3 +128,27 @@ def test_sst_stack_qkv_matches_einsum(rng):
     np.testing.assert_allclose(outs["qkv"][np.asarray(valid)],
                                outs["einsum"][np.asarray(valid)],
                                rtol=5e-4, atol=5e-5)
+
+
+def test_merged_backward_matches_split(rng, monkeypatch):
+    """The one-pass merged backward (default) must equal the legacy
+    split dq/dkv pair bit-for-bit up to bf16 accumulation order."""
+    x, pos, win, kv, ws = make_case(rng, B=2, V=192, C=16, G=1)
+    H = 2
+
+    def loss(x_, ws_):
+        o = band_attention_qkv(x_, pos, ws_["wq"], ws_["bq"], ws_["wk"],
+                               ws_["bk"], ws_["wv"], ws_["bv"], win, kv,
+                               H, 64, 128, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("GEOMAE_ATTN_BWD", "split")
+    gx_s, gw_s = jax.grad(loss, argnums=(0, 1))(x, ws)
+    monkeypatch.delenv("GEOMAE_ATTN_BWD")
+    gx_m, gw_m = jax.grad(loss, argnums=(0, 1))(x, ws)
+    np.testing.assert_allclose(np.asarray(gx_m, np.float32),
+                               np.asarray(gx_s, np.float32),
+                               rtol=2e-2, atol=2e-3)
+    for k in sorted(ws):
+        np.testing.assert_allclose(np.asarray(gw_m[k]), np.asarray(gw_s[k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
