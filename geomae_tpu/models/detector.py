@@ -61,6 +61,53 @@ class DynamicVoxelNet(nn.Module):
         return Anchor3DHead(cfg.head, dtype, name="bbox_head")(fpn)
 
 
+class VoxelNet(nn.Module):
+    """Hard-voxelization single-stage detector (reference
+    ``mmdet3d/models/detectors/voxelnet.py:13-48``): hard voxelize ->
+    voxel encoder -> PointPillarsScatter BEV -> SECOND -> FPN -> head.
+
+    ``encoder="pillar"`` uses :class:`PillarFeatureNet` (the PointPillars
+    composition — with a sorted VoxelTable the dynamic and hard encoders
+    coincide, see ``pillar_encoders.py``); ``encoder="simple"`` runs the
+    reference ``HardSimpleVFE`` mean over dense ``[V, T, D]`` buffers from
+    :func:`geomae_tpu.ops.voxelize.hard_voxelize`.  The sparse-conv middle
+    encoder of the SECOND config family is scoped out (SURVEY §7); the BEV
+    scatter stands in as the middle encoder.
+    """
+
+    cfg: FinetuneConfig
+    encoder: str = "pillar"
+    max_points_per_voxel: int = 32
+
+    @nn.compact
+    def __call__(self, scene: Scene, train: bool = True) -> HeadOutputs:
+        cfg = self.cfg
+        table = scene.table
+        dtype = jnp.dtype(cfg.compute_dtype)
+        ny, nx = cfg.voxel.grid_size
+
+        if self.encoder == "simple":
+            from .pillar_encoders import hard_simple_vfe
+            from ..ops.voxelize import hard_voxelize
+            voxels, npts = jax.vmap(
+                lambda s: hard_voxelize(s, self.max_points_per_voxel))(scene)
+            feats = hard_simple_vfe(voxels, npts).astype(dtype)
+        else:
+            from .pillar_encoders import PillarFeatureNet
+            feats = PillarFeatureNet(cfg.vfe, cfg.voxel, dtype,
+                                     name="voxel_encoder")(scene, train)
+
+        bev = recover_bev(feats.astype(dtype), table.coords, table.valid,
+                          ny, nx)
+        stages = SECONDStages(cfg.second, dtype, name="second")(bev, train)
+        fpn = SECONDFPN(cfg.fpn, dtype, name="neck")(stages, train)
+        if cfg.head_type == "center":
+            from .center_head import CenterHead
+            return CenterHead(cfg.center_head, dtype, name="bbox_head")(
+                fpn, train)
+        return Anchor3DHead(cfg.head, dtype, name="bbox_head")(fpn)
+
+
 def extract_scene(cfg: FinetuneConfig, points, point_valid) -> Scene:
     return build_scene_batch(points, point_valid, cfg.voxel,
                              cfg.caps.max_voxels)

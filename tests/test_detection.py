@@ -96,3 +96,33 @@ def test_pretrain_weight_import(cfg):
     a = state.params["voxel_encoder"]["vfe_0"]["linear"]["kernel"]
     b = pstate.params["voxel_encoder"]["vfe_0"]["linear"]["kernel"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("encoder", ["pillar", "simple"])
+def test_voxelnet_hard_detector_forward(cfg, encoder):
+    """VoxelNet wrapper (hard voxelization composition): forward shapes,
+    finite outputs, and gradients flow through the encoder."""
+    from geomae_tpu.models.detector import VoxelNet, extract_scene
+
+    batch = FT.dummy_batch(cfg, batch_size=2, seed=7)
+    scene = extract_scene(cfg, batch["points"], batch["point_valid"])
+    model = VoxelNet(cfg, encoder=encoder, max_points_per_voxel=16)
+    params = model.init(jax.random.PRNGKey(0), scene, train=False)
+
+    outs, _ = model.apply(params, scene, train=True,
+                          mutable=["batch_stats"])
+    ny, nx = cfg.voxel.grid_size
+    from geomae_tpu.models.anchors import num_anchors_per_cell
+    A = num_anchors_per_cell(cfg.head)
+    fy = outs.cls.shape[1]
+    assert outs.cls.shape == (2, fy, fy, A * cfg.head.num_classes)
+    assert outs.reg.shape[-1] == A * 9
+    assert np.isfinite(np.asarray(outs.cls, np.float32)).all()
+
+    if encoder == "pillar":
+        def loss(p):
+            o = model.apply(p, scene, train=False)
+            return jnp.sum(o.cls.astype(jnp.float32) ** 2)
+        g = jax.grad(loss)(params)
+        gk = g["params"]["voxel_encoder"]["pfn_0_linear"]["kernel"]
+        assert float(jnp.abs(gk).sum()) > 0.0
