@@ -40,6 +40,68 @@ def dynamic_simple_vfe(scene: Scene, num_features: int = 4):
     return jnp.where(table.valid[..., None], mean, 0.0)
 
 
+class HardVFE(nn.Module):
+    """VFE over dense hard-voxelized buffers (``HardVFE``, reference
+    ``voxel_encoder.py:422-585``; point layers = ``VFELayer``,
+    ``voxel_encoders/utils.py:31-90``): decorate each point with the
+    cluster-center offset / pillar-center offset / radial distance, then
+    Linear(no bias) -> BN -> ReLU -> in-voxel max per layer, broadcasting
+    the max back (``cat_max``) on all but the last layer.
+
+    Inputs are batched: ``voxels`` [B, V, T, D] zero-padded buffers from
+    :func:`geomae_tpu.ops.voxelize.hard_voxelize`, ``num_points`` [B, V],
+    ``coords`` [B, V, 2] (y, x).  The image fusion layer is scoped out
+    (camera modality, SURVEY §7).
+    """
+
+    cfg: VFEConfig
+    voxel: VoxelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, num_points: jnp.ndarray,
+                 coords: jnp.ndarray, train: bool = True):
+        B, V, T, D = voxels.shape
+        mask = (jnp.arange(T)[None, None, :]
+                < num_points[..., None])                  # [B, V, T]
+        xyz = voxels[..., :3]
+        feats = [voxels]
+        if self.cfg.with_cluster_center:
+            mean = (jnp.sum(xyz, axis=-2, keepdims=True)
+                    / jnp.maximum(num_points, 1)[..., None, None]
+                    .astype(xyz.dtype))
+            feats.append(xyz - mean)
+        if self.cfg.with_voxel_center:
+            r = self.voxel.point_cloud_range
+            vx, vy, vz = self.voxel.voxel_size
+            cy = coords[..., 0:1].astype(voxels.dtype)
+            cx = coords[..., 1:2].astype(voxels.dtype)
+            feats.append(jnp.stack([
+                voxels[..., 0] - (cx * vx + vx / 2 + r[0]),
+                voxels[..., 1] - (cy * vy + vy / 2 + r[1]),
+                voxels[..., 2] - (vz / 2 + r[2])], -1))
+        if self.cfg.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        x = jnp.concatenate(feats, -1)
+        x = jnp.where(mask[..., None], x, 0.0).astype(self.dtype)
+
+        for i, ch in enumerate(self.cfg.feat_channels):
+            x = nn.Dense(ch, use_bias=False, dtype=self.dtype,
+                         kernel_init=torch_linear_init,
+                         name=f"vfe_{i}_linear")(x)
+            x = MaskedBatchNorm(ch, self.cfg.bn_momentum, self.cfg.bn_eps,
+                                name=f"vfe_{i}_norm")(x, mask, train)
+            # NOTE: like the reference, only the INPUT decorations are
+            # masked — the in-voxel max sees relu(BN(linear(0))) for the
+            # padded rows (voxel_encoder.py:575 masks once, before layers)
+            x = nn.relu(x)
+            vmax = jnp.max(x, axis=-2)                    # [B, V, ch]
+            if i != len(self.cfg.feat_channels) - 1:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(vmax[..., None, :], x.shape)], -1)
+        return vmax
+
+
 class PillarFeatureNet(nn.Module):
     """PointPillars encoder: decorated point features -> PFN layers ->
     per-pillar max (``pillar_encoder.py:12-150``).  This dynamic variant

@@ -53,3 +53,56 @@ def test_simple_vfes(rng):
     v0 = int(np.argmax(np.asarray(n)))
     np.testing.assert_allclose(
         hm[v0], np.asarray(voxels)[v0][:int(n[v0])].mean(0), rtol=1e-5)
+
+
+def test_hard_vfe_oracle(rng):
+    """HardVFE vs a numpy oracle on one tiny scene: decorations, masked
+    BN statistics over real points only, max including transformed
+    zero-pad rows (reference voxel_encoder.py:575 masks input only)."""
+    from geomae_tpu.config import VFEConfig
+    from geomae_tpu.models.pillar_encoders import HardVFE
+
+    cfg = tiny_cfg()
+    vcfg = VFEConfig(feat_channels=(8,), with_cluster_center=True,
+                     with_voxel_center=True, with_distance=True)
+    P, V, T = 200, 64, 8
+    pts = np.concatenate([random_points(rng, P, cfg),
+                          rng.random((P, 1)).astype(np.float32)], -1)
+    valid = np.ones(P, bool)
+    sc_b = vox.build_scene_batch(jnp.asarray(pts[None]),
+                                 jnp.asarray(valid[None]), cfg, V)
+    sc = jax.tree_util.tree_map(lambda x: x[0], sc_b)
+    voxels, n = vox.hard_voxelize(sc, T)
+    voxels = np.asarray(voxels)[None]
+    n = np.asarray(n)[None]
+    coords = np.asarray(sc_b.table.coords)
+
+    model = HardVFE(vcfg, cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(voxels),
+                        jnp.asarray(n), jnp.asarray(coords), train=False)
+    out = np.asarray(model.apply(params, jnp.asarray(voxels),
+                                 jnp.asarray(n), jnp.asarray(coords),
+                                 train=True, mutable=["batch_stats"])[0])
+
+    # numpy oracle
+    vx, vy, vz = cfg.voxel_size
+    r = cfg.point_cloud_range
+    mask = np.arange(T)[None, None] < n[..., None]
+    xyz = voxels[..., :3]
+    mean = xyz.sum(-2, keepdims=True) / np.maximum(n, 1)[..., None, None]
+    ctr = np.stack([
+        voxels[..., 0] - (coords[..., 1:2] * vx + vx / 2 + r[0]),
+        voxels[..., 1] - (coords[..., 0:1] * vy + vy / 2 + r[1]),
+        voxels[..., 2] - (vz / 2 + r[2])], -1)
+    dist = np.linalg.norm(xyz, axis=-1, keepdims=True)
+    x = np.concatenate([voxels, xyz - mean, ctr, dist], -1)
+    x = np.where(mask[..., None], x, 0.0)
+    k = np.asarray(params["params"]["vfe_0_linear"]["kernel"])
+    h = x @ k
+    m = mask[..., None].astype(np.float64)
+    cnt = m.sum()
+    mu = (h * m).sum((0, 1, 2)) / cnt
+    var = ((h * m) * h).sum((0, 1, 2)) / cnt - mu ** 2
+    hn = (h - mu) / np.sqrt(var + vcfg.bn_eps)
+    want = np.maximum(hn, 0.0).max(-2)
+    np.testing.assert_allclose(out, want, rtol=2e-3, atol=2e-3)
