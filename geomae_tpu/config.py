@@ -252,7 +252,9 @@ class CenterHeadConfig:
     score_threshold: float = 0.1
     post_center_range: Tuple[float, ...] = (-61.2, -61.2, -10.0,
                                             61.2, 61.2, 10.0)
-    nms_thr: float = 0.2
+    # float = one threshold for all tasks; tuple = per-task thresholds
+    # (``use_mul_nms`` of the waymo variant, ``centerpoint_head_waymo.py``)
+    nms_thr: float | Tuple[float, ...] = 0.2
     post_max_size: int = 83
     topk: int = 500
     bn_eps: float = 1e-3

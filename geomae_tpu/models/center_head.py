@@ -293,7 +293,12 @@ def center_head_decode(task_preds: List[Dict[str, jnp.ndarray]],
         for ti, (lo, hi) in enumerate(_task_slices(cfg)):
             boxes, scores, cls, ok = decode_task(preds_flat[ti], cfg, voxel)
             bev5 = boxes[:, [0, 1, 3, 4, 6]]
-            keep = nms_bev(bev5, scores, ok, cfg.nms_thr, cfg.post_max_size)
+            # per-task thresholds = the waymo variant's ``use_mul_nms``
+            # (reference ``centerpoint_head_waymo.py``, its only
+            # functional delta vs the base head)
+            thr = (cfg.nms_thr[ti] if isinstance(cfg.nms_thr, (tuple, list))
+                   else cfg.nms_thr)
+            keep = nms_bev(bev5, scores, ok, thr, cfg.post_max_size)
             all_boxes.append(boxes)
             all_scores.append(jnp.where(keep, scores, -1.0))
             all_labels.append(cls + lo)

@@ -64,3 +64,21 @@ def test_center_train_step_and_decode(cfg):
     if v.any():
         lb = np.asarray(det.labels)[v]
         assert np.all((lb >= 0) & (lb < cfg.center_head.num_classes))
+
+
+def test_per_task_nms_thresholds(cfg):
+    """Tuple nms_thr (the waymo variant's use_mul_nms) decodes fine and a
+    0-threshold task suppresses all but one box per cluster."""
+    from geomae_tpu.config import replace
+
+    n_tasks = len(cfg.center_head.tasks)
+    ch = replace(cfg.center_head, nms_thr=(0.0,) * n_tasks)
+    cfg2 = replace(cfg, center_head=ch)
+    state, _ = FT.init_state(cfg2, batch_size=1, rng=jax.random.PRNGKey(0))
+    batch = FT.dummy_batch(cfg2, batch_size=1, seed=5)
+    det0 = jax.jit(FT.make_predict_fn(cfg))(state, batch)
+    det = jax.jit(FT.make_predict_fn(cfg2))(state, batch)
+    assert det.boxes.shape == det0.boxes.shape
+    # threshold 0 is strictly more suppressive than the default
+    assert int(np.asarray(det.valid).sum()) <= int(
+        np.asarray(det0.valid).sum())
