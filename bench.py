@@ -151,12 +151,15 @@ def main():
     # kernel A/B hooks (default config when unset)
     attn = os.environ.get("GEOMAE_ATTN_IMPL")
     ffn = os.environ.get("GEOMAE_FFN_IMPL")
-    if attn or ffn:
+    layout = os.environ.get("GEOMAE_BAND_LAYOUT")
+    if attn or ffn or layout:
         sst = cfg.sst
         if attn:
             sst = replace(sst, attention_impl=attn)
         if ffn:
             sst = replace(sst, ffn_impl=ffn)
+        if layout:
+            sst = replace(sst, band_layout=layout)
         cfg = replace(cfg, sst=sst)
     rng = np.random.default_rng(0)
     state, tx = init_state(cfg, BATCH, jax.random.PRNGKey(0))

@@ -122,6 +122,15 @@ class SSTConfig:
     # fused out-proj+LN1+FFN+LN2 block (ops/pallas_ffn.py): "auto" uses it
     # on TPU (gelu configs, 128-aligned shapes), "xla" keeps separate ops
     ffn_impl: str = "auto"            # "auto"|"fused"|"xla"
+    # token layout for windowed attention:
+    #   "band":     window-sorted tokens; each 256-query tile attends a
+    #               fixed ±192 overlap band (width 640) masked by window.
+    #   "tilepack": windows rounded to power-of-2 buckets and packed
+    #               descending so NO window straddles a 256 boundary —
+    #               attention runs with pad=0 (width 256, ~1.6x fewer
+    #               padded score FLOPs at measured nuScenes window stats;
+    #               extent <= 2V guaranteed, trailing tiles skipped).
+    band_layout: str = "band"         # "band"|"tilepack"
     # rematerialize whole SST blocks in backward (torch checkpoint_blocks
     # analogue).  With the fused Pallas attention backward, activations are
     # small enough that remat=False trades ~1 forward of recompute for HBM.

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..config import SSTConfig
 from ..ops.attention import band_attention
-from ..ops.scatter import permute_rows
 from ..ops.windows import WindowLayout
 from .norm import FastLayerNorm
 
@@ -40,8 +39,22 @@ def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _permute(x: jnp.ndarray, perm: jnp.ndarray,
              inv_perm: jnp.ndarray) -> jnp.ndarray:
-    """Batched permutation gather with inverse-permutation backward."""
-    return jax.vmap(permute_rows)(x, perm, inv_perm)
+    """Batched permutation/injection gather with inverse-gather backward.
+
+    ``gather_injective`` reads 0 at INT32_MAX sentinels, which makes the
+    same helper serve both the band layout (true permutations) and the
+    tile-packed layout (injections into a [V_pack] slot space with
+    holes)."""
+    from ..ops.scatter import gather_injective
+    return jax.vmap(gather_injective)(x, perm, inv_perm)
+
+
+def _take_idx(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched int index-table gather: sentinel (INT32_MAX) propagates."""
+    V = tab.shape[1]
+    safe = jnp.minimum(idx, V - 1)
+    got = jnp.take_along_axis(tab, safe, axis=1)
+    return jnp.where(idx == INT32_MAX, INT32_MAX, got)
 
 
 def prepare_shift_data(layouts: Sequence[WindowLayout],
@@ -70,18 +83,29 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     Returns dict(layers=[per-shift dicts], entry=(perm, inv),
     cross=[per-layer (perm, inv) or None]).
     """
+    from ..ops.scatter import gather_rows
     from ..ops.windows import positional_embedding
     layers = []
     for s_i, lay in enumerate(layouts):
+        # sentinel-safe gathers (tile-packed layouts have hole slots):
+        # holes read coords 0 / key_valid False — they match no query
+        # window, so the attention mask removes them regardless
+        ciw_sorted = jax.vmap(gather_rows)(lay.coors_in_win, lay.perm)
         if pos_embeds is None:
-            pos_sorted = positional_embedding(
-                _take(lay.coors_in_win, lay.perm), sst)
+            pos_sorted = positional_embedding(ciw_sorted, sst)
         else:
-            pos_sorted = _take(pos_embeds[s_i], lay.perm)
+            pos_sorted = jax.vmap(gather_rows)(pos_embeds[s_i], lay.perm)
+        kv_sorted = jax.vmap(gather_rows)(
+            key_valid[..., None].astype(jnp.float32), lay.perm)[..., 0] > 0.5
+        S = lay.win_id.shape[-1]
+        iota = jnp.arange(S, dtype=jnp.int32)
+        extent = jnp.max(jnp.where(lay.win_id != INT32_MAX, iota + 1, 0),
+                         axis=-1).astype(jnp.int32)      # [B] last real +1
         layers.append(dict(
             win_id=lay.win_id,
             pos_sorted=pos_sorted,
-            key_valid_sorted=_take(key_valid, lay.perm),
+            key_valid_sorted=kv_sorted,
+            extent=extent,
         ))
     n = len(layers)
     last = (2 - 1) % n            # order blocks start from (= s_{1%n})
@@ -90,8 +114,8 @@ def prepare_shift_data(layouts: Sequence[WindowLayout],
     def compose(a, b):            # tokens in order a -> order b
         if a is b:
             return None
-        perm = _take(a.inv_perm, b.perm)
-        inv = _take(b.inv_perm, a.perm)
+        perm = _take_idx(a.inv_perm, b.perm)
+        inv = _take_idx(b.inv_perm, a.perm)
         return (perm, inv)
 
     orders = [layouts[0], layouts[1 % n]]
@@ -198,6 +222,7 @@ class WindowMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
     fuse_ffn: bool = False
+    band_layout: str = "band"
 
     @nn.compact
     def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
@@ -215,6 +240,9 @@ class WindowMHA(nn.Module):
             fused = None
         if fused is not None and fused[0] == "qkv":
             from ..ops.pallas_attention import DEFAULT_PAD
+            # tilepack: windows never straddle 256-tile boundaries, so the
+            # overlap band (pad) vanishes — score width 256 instead of 640
+            pad = 0 if self.band_layout == "tilepack" else DEFAULT_PAD
             # in-kernel projections: declare Dense-compatible params only
             dp = lambda name: _DenseParams(C, C, name=name)()
             wq, bq = dp("q_proj")
@@ -224,7 +252,7 @@ class WindowMHA(nn.Module):
             out = fused[1](x_s, pos, wq[None], bq[None], wk[None], bk[None],
                            wv[None], bv[None], layer_data["win_id"],
                            layer_data["key_valid_sorted"], H, tile,
-                           DEFAULT_PAD, not _is_tpu_backend())
+                           pad, not _is_tpu_backend())
             if self.fuse_ffn:
                 wo, bo = _DenseParams(C, C, name="out_proj")()
                 return out, (wo, bo)
@@ -275,7 +303,8 @@ class EncoderLayer(nn.Module):
         B, V, C = x.shape
         fused = _use_fused_ffn(c, V, C)
         a = WindowMHA(c.d_model, c.nhead, self.dtype, c.attention_impl,
-                      fuse_ffn=fused, name="win_attn")(x, layer_data)
+                      fuse_ffn=fused, band_layout=c.band_layout,
+                      name="win_attn")(x, layer_data)
         if fused:
             raw, (wo, bo) = a
             s1, t1 = _LNParams(C, name="norm1")()
@@ -287,7 +316,8 @@ class EncoderLayer(nn.Module):
             g = lambda p: p[None]
             return post_attention_block(
                 x, raw, g(wo), g(bo), g(s1), g(t1), g(w1), g(b1), g(w2),
-                g(b2), g(s2), g(t2), 1e-5, tile, not _is_tpu_backend())
+                g(b2), g(s2), g(t2), layer_data.get("extent"), 1e-5, tile,
+                not _is_tpu_backend())
         # custom-VJP LayerNorm: f32 statistics, compute-dtype residual
         # stream, compact backward residuals (models/norm.py)
         x = FastLayerNorm(epsilon=1e-5, name="norm1")(x + a)
@@ -389,6 +419,7 @@ class GroupedWindowMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
     fuse_ffn: bool = False
+    band_layout: str = "band"
 
     @nn.compact
     def __call__(self, x_s: jnp.ndarray, layer_data: dict) -> jnp.ndarray:
@@ -404,6 +435,7 @@ class GroupedWindowMHA(nn.Module):
             fused = None
         if fused is not None and fused[0] == "qkv":
             from ..ops.pallas_attention import DEFAULT_PAD
+            pad = 0 if self.band_layout == "tilepack" else DEFAULT_PAD
             # tokens are group-major [G*B, V, C]; weights ride [G, C, C]
             gp = lambda name: _GroupedDenseParams(G, C, C, name=name)()
             wq, bq = gp("q_proj")
@@ -413,7 +445,7 @@ class GroupedWindowMHA(nn.Module):
             out = fused[1](x_s, pos, wq, bq, wk, bk, wv, bv,
                            layer_data["win_id"],
                            layer_data["key_valid_sorted"], H, tile,
-                           DEFAULT_PAD, not _is_tpu_backend())
+                           pad, not _is_tpu_backend())
             if self.fuse_ffn:
                 wo, bo = _GroupedDenseParams(G, C, C, name="out_proj")()
                 return out, (wo, bo)
@@ -449,6 +481,7 @@ class GroupedEncoderLayer(nn.Module):
         fused = _use_fused_ffn(c, V, C)
         a = GroupedWindowMHA(G, c.d_model, c.nhead, self.dtype,
                              c.attention_impl, fuse_ffn=fused,
+                             band_layout=c.band_layout,
                              name="win_attn")(x, layer_data)
         if fused:
             raw, (wo, bo) = a
@@ -462,7 +495,7 @@ class GroupedEncoderLayer(nn.Module):
             tile = 256 if V % 256 == 0 else 128
             return post_attention_block(
                 x, raw, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2,
-                1e-5, tile, not _is_tpu_backend())
+                layer_data.get("extent"), 1e-5, tile, not _is_tpu_backend())
         x = GroupedLayerNorm(G, epsilon=1e-5, name="norm1")(x + a)
         act = ((lambda t: nn.gelu(t, approximate=False))
                if c.activation == "gelu" else nn.relu)

@@ -190,7 +190,13 @@ def _pallas_forward(q, k, v, win_id, key_valid, tile, pad,
         assert width % 128 == 0, (tile, pad)
     qf, kf, vf, aux, win_f = _band_inputs(q, k, v, win_id, key_valid, pad)
 
-    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)   # [B]
+    nv = jnp.max(jnp.where(win_f < 2.0 ** 24,
+                       jnp.arange(win_f.shape[1], dtype=jnp.int32)
+                       + 1, 0), axis=1).astype(jnp.int32)
+    # EXTENT (last real slot + 1), not a count: the tile-packed
+    # layout intersperses bucket-slack holes, so a count would
+    # skip real trailing tiles; for the compact band layout the
+    # two coincide   # [B]
     kern = functools.partial(_fwd_kernel, tile=tile, width=width, nheads=H,
                              head_dim=D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -434,7 +440,13 @@ def _pallas_backward(q, k, v, win_id, key_valid, out, stats, g,
     kv_band = jnp.concatenate([kf, vf], axis=-1)
     dq_kern = functools.partial(_dq_kernel, tile=tile, width=width,
                                 nheads=H, head_dim=D)
-    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    nv = jnp.max(jnp.where(win_f < 2.0 ** 24,
+                       jnp.arange(win_f.shape[1], dtype=jnp.int32)
+                       + 1, 0), axis=1).astype(jnp.int32)
+    # EXTENT (last real slot + 1), not a count: the tile-packed
+    # layout intersperses bucket-slack holes, so a count would
+    # skip real trailing tiles; for the compact band layout the
+    # two coincide
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),

@@ -57,6 +57,30 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _pack_on() -> bool:
+    """Packed-heads experiment (heads ride sublane blocks; full-K score
+    matmuls).  Measured SLOWER than the per-head loop on v5e forward
+    (5.79 vs 4.71 ms/layer at decoder scale — the loop's padded matmuls
+    already run at ~50% MXU and packing only adds mask traffic), and the
+    packed backward's [tile,1] stat concats hit a Mosaic concat
+    limitation.  Kept opt-in for future hardware; default OFF."""
+    import os
+    return os.environ.get("GEOMAE_ATTN_PACK", "0") == "1"
+
+
+def _head_tiled(t, reps):
+    """Stack ``reps`` copies of ``t`` along sublanes: [R, ...] -> [reps*R, ...]."""
+    return jnp.concatenate([t] * reps, axis=0)
+
+
+def _head_mask(rows, C, tile, head_dim, h0):
+    """[rows, C] bool: row block j (of ``tile`` rows) selects head h0+j's
+    ``head_dim`` lane slice.  The packed-head layout's only bookkeeping."""
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) // tile + h0
+    colh = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 1) // head_dim
+    return rowh == colh
+
+
 def _proj(t, w_ref, b_ref, dt):
     """(t @ W + b) with f32 accumulation, cast to the compute dtype."""
     return (_dot(t, w_ref[0], ((1,), (0,))).astype(dt) + b_ref[0])
@@ -70,7 +94,7 @@ def _proj(t, w_ref, b_ref, dt):
 def _fwd_kernel(nv_ref, winq_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 bv_ref, x_hbm, p_hbm, aux_hbm, out_ref, stats_ref,
                 xbuf, pbuf, auxbuf, sems, *, tile, pad, width, nheads,
-                head_dim):
+                head_dim, pack):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -131,18 +155,50 @@ def _fwd_kernel(nv_ref, winq_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
         ones = jnp.ones((width, 1), jnp.float32)
 
         scale = 1.0 / (head_dim ** 0.5)
-        for h in range(nheads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+        if pack:
+            # PACKED HEADS: heads ride SUBLANE blocks — q is tiled H times
+            # along rows and masked to its head's lane slice, so the score
+            # matmul contracts the full C=128 lanes ONCE for all heads
+            # ([H*tile, width]); per-head lane slicing (a Mosaic relayout
+            # per [.., 16] slice) and the 16->128 K-padding of H separate
+            # matmuls both disappear.  Softmax is purely row-wise; head
+            # structure only reappears as cheap sublane-block selects.
+            C = nheads * head_dim
+            qp = jnp.where(_head_mask(nheads * tile, C, tile, head_dim, 0),
+                           _head_tiled(qt, nheads), 0)
+            s = _dot(qp, kb, ((1,), (1,))) * scale \
+                + _head_tiled(bias, nheads)          # [H*tile, width] f32
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             lsum = _dot(e, ones, ((1,), (0,)))
-            lsum = jnp.where(nonempty, lsum, 0.0)
-            o = _dot(e.astype(vb.dtype), vb[:, sl], ((1,), (0,)))
-            o = jnp.where(nonempty, o / jnp.maximum(lsum, _EPS), 0.0)
-            out_ref[0, :, sl] = o.astype(out_ref.dtype)
-            stats_ref[0, :, h:h + 1] = m
-            stats_ref[0, :, nheads + h:nheads + h + 1] = lsum
+            ne_t = _head_tiled(nonempty, nheads)
+            lsum = jnp.where(ne_t, lsum, 0.0)
+            inv = jnp.where(ne_t, 1.0 / jnp.maximum(lsum, _EPS), 0.0)
+            op = _dot((e * inv).astype(vb.dtype), vb, ((1,), (0,)))
+            colh = (jax.lax.broadcasted_iota(jnp.int32, (tile, C), 1)
+                    // head_dim)
+            o = jnp.zeros((tile, C), jnp.float32)
+            for h in range(nheads):
+                o = o + jnp.where(colh == h,
+                                  op[h * tile:(h + 1) * tile], 0.0)
+            out_ref[0] = o.astype(out_ref.dtype)
+            for h in range(nheads):
+                stats_ref[0, :, h:h + 1] = m[h * tile:(h + 1) * tile]
+                stats_ref[0, :, nheads + h:nheads + h + 1] = \
+                    lsum[h * tile:(h + 1) * tile]
+        else:
+            for h in range(nheads):
+                sl = slice(h * head_dim, (h + 1) * head_dim)
+                s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                lsum = _dot(e, ones, ((1,), (0,)))
+                lsum = jnp.where(nonempty, lsum, 0.0)
+                o = _dot(e.astype(vb.dtype), vb[:, sl], ((1,), (0,)))
+                o = jnp.where(nonempty, o / jnp.maximum(lsum, _EPS), 0.0)
+                out_ref[0, :, sl] = o.astype(out_ref.dtype)
+                stats_ref[0, :, h:h + 1] = m
+                stats_ref[0, :, nheads + h:nheads + h + 1] = lsum
 
 
 def _grp_specs(C, bb):
@@ -168,7 +224,13 @@ def _forward(x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid, tile, pad,
     if not interpret:
         assert width % 128 == 0, (tile, pad)
     xp, pp, aux, win_f = _band_inputs_x(x, pos, win_id, key_valid, pad)
-    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    nv = jnp.max(jnp.where(win_f < 2.0 ** 24,
+                       jnp.arange(win_f.shape[1], dtype=jnp.int32)
+                       + 1, 0), axis=1).astype(jnp.int32)
+    # EXTENT (last real slot + 1), not a count: the tile-packed
+    # layout intersperses bucket-slack holes, so a count would
+    # skip real trailing tiles; for the compact band layout the
+    # two coincide
     return xp, pp, aux, win_f, nv, bb, nt, width
 
 
@@ -180,7 +242,8 @@ def _pallas_forward(x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid,
         x, pos, wq, bq, wk, bk, wv, bv, win_id, key_valid, tile, pad,
         interpret)
     kern = functools.partial(_fwd_kernel, tile=tile, pad=pad, width=width,
-                             nheads=nheads, head_dim=C // nheads)
+                             nheads=nheads, head_dim=C // nheads,
+                             pack=_pack_on())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
@@ -437,7 +500,8 @@ def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
                        dwk_ref, dbk_ref, dwv_ref, dbv_ref, xbuf, pbuf,
                        auxbuf, acc, wq_acc, bq_acc, wk_acc, bk_acc,
                        wv_acc, bv_acc, sems, fsems, dsem, *, tile, pad,
-                       width, nheads, head_dim, bb, pad_r, wacc):
+                       width, nheads, head_dim, bb, pad_r, wacc, pack,
+                       pack_hg):
     """ONE pass over query tiles producing dq AND banded dk/dv (projected
     to dx-space immediately and accumulated in a VMEM-resident table) AND
     all six weight grads.
@@ -518,31 +582,74 @@ def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
         bias = jnp.where(mask, 0.0, _NEG)
 
         scale = 1.0 / (head_dim ** 0.5)
-        # every part lands in the compute dtype immediately — the concat
-        # temporaries in f32 were the difference between fitting and
-        # missing the 16 MB scoped-VMEM budget (f32 grad accumulators
-        # keep full precision; bf16 parts are cotangent-grade)
-        dq_parts, dk_parts, dv_parts = [], [], []
-        for h in range(nheads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            m = st_ref[0, :, h:h + 1]
-            lrow = st_ref[0, :, nheads + h:nheads + h + 1]
-            inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
-            dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
-            s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
-            p = jnp.exp(s - m) * inv_l                  # [tile, width]
-            dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
-            ds = p * (dp - dvo)
-            dsc = ds.astype(dt)
-            dq_parts.append((_dot(dsc, kb[:, sl], ((1,), (0,)))
-                             * scale).astype(dt))
-            dv_parts.append(_dot(p.astype(dt), do[:, sl],
-                                 ((0,), (0,))).astype(dt))
-            dk_parts.append((_dot(dsc, qt[:, sl], ((0,), (0,)))
-                             * scale).astype(dt))
-        dqc = jnp.concatenate(dq_parts, axis=1)         # [tile, C] dt
-        dkc = jnp.concatenate(dk_parts, axis=1)         # [width, C] dt
-        dvc = jnp.concatenate(dv_parts, axis=1)
+        C = nheads * head_dim
+        if pack:
+            # PACKED HEADS (see _fwd_kernel): q/do tile along sublanes with
+            # head-lane masking; every matmul contracts or emits the full
+            # 128 lanes.  ``hg`` heads per pass bounds the [hg*tile, width]
+            # f32 temporaries so the pass fits beside the dkv-as-dx
+            # accumulator table in scoped VMEM.
+            hg = min(nheads, max(1, pack_hg))
+            colh = (jax.lax.broadcasted_iota(jnp.int32, (tile, C), 1)
+                    // head_dim)
+            dqf = jnp.zeros((tile, C), jnp.float32)
+            dkf = jnp.zeros((width, C), jnp.float32)
+            dvf = jnp.zeros((width, C), jnp.float32)
+            for h0 in range(0, nheads, hg):
+                hsel = _head_mask(hg * tile, C, tile, head_dim, h0)
+                qp = jnp.where(hsel, _head_tiled(qt, hg), 0)
+                dop = jnp.where(hsel, _head_tiled(do, hg), 0)
+                col = lambda c0: jnp.concatenate(
+                    [st_ref[0, :, c0 + h:c0 + h + 1]
+                     for h in range(h0, h0 + hg)], 0)    # [hg*tile, 1]
+                m = col(0)
+                lrow = col(nheads)
+                inv_l = jnp.where(lrow > 0,
+                                  1.0 / jnp.maximum(lrow, _EPS), 0.0)
+                dvo = col(2 * nheads)
+                s = _dot(qp, kb, ((1,), (1,))) * scale \
+                    + _head_tiled(bias, hg)              # [hg*tile, width]
+                p = jnp.exp(s - m) * inv_l
+                dp = _dot(dop, vb, ((1,), (1,)))
+                ds = p * (dp - dvo)
+                dsc = ds.astype(dt)
+                dqg = _dot(dsc, kb, ((1,), (0,)))        # [hg*tile, C]
+                for j, h in enumerate(range(h0, h0 + hg)):
+                    dqf = dqf + jnp.where(
+                        colh == h, dqg[j * tile:(j + 1) * tile], 0.0)
+                dkf = dkf + _dot(dsc, qp, ((0,), (0,)))
+                dvf = dvf + _dot(p.astype(dt), dop, ((0,), (0,)))
+            dqc = (dqf * scale).astype(dt)
+            dkc = (dkf * scale).astype(dt)
+            dvc = dvf.astype(dt)
+        else:
+            # every part lands in the compute dtype immediately — the
+            # concat temporaries in f32 were the difference between
+            # fitting and missing the 16 MB scoped-VMEM budget (f32 grad
+            # accumulators keep full precision; bf16 parts are
+            # cotangent-grade)
+            dq_parts, dk_parts, dv_parts = [], [], []
+            for h in range(nheads):
+                sl = slice(h * head_dim, (h + 1) * head_dim)
+                m = st_ref[0, :, h:h + 1]
+                lrow = st_ref[0, :, nheads + h:nheads + h + 1]
+                inv_l = jnp.where(lrow > 0,
+                                  1.0 / jnp.maximum(lrow, _EPS), 0.0)
+                dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
+                s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+                p = jnp.exp(s - m) * inv_l              # [tile, width]
+                dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
+                ds = p * (dp - dvo)
+                dsc = ds.astype(dt)
+                dq_parts.append((_dot(dsc, kb[:, sl], ((1,), (0,)))
+                                 * scale).astype(dt))
+                dv_parts.append(_dot(p.astype(dt), do[:, sl],
+                                     ((0,), (0,))).astype(dt))
+                dk_parts.append((_dot(dsc, qt[:, sl], ((0,), (0,)))
+                                 * scale).astype(dt))
+            dqc = jnp.concatenate(dq_parts, axis=1)     # [tile, C] dt
+            dkc = jnp.concatenate(dk_parts, axis=1)     # [width, C] dt
+            dvc = jnp.concatenate(dv_parts, axis=1)
 
         dxq_ref[0] = _dot(dqc, wq_ref[0], ((1,), (1,))).astype(dt)
         wq_acc[...] += _dot(qk_t, dqc, ((0,), (0,)))
@@ -593,7 +700,13 @@ def _pallas_backward_merged(x, pos, wq, bq, wk, bk, wv, bv, win_id,
     D = C // H
 
     xp, pp, aux, win_f = _band_inputs_x(x, pos, win_id, key_valid, pad)
-    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    nv = jnp.max(jnp.where(win_f < 2.0 ** 24,
+                       jnp.arange(win_f.shape[1], dtype=jnp.int32)
+                       + 1, 0), axis=1).astype(jnp.int32)
+    # EXTENT (last real slot + 1), not a count: the tile-packed
+    # layout intersperses bucket-slack holes, so a count would
+    # skip real trailing tiles; for the compact band layout the
+    # two coincide
     dvo = jnp.einsum("bvhd,bvhd->bvh", g_out.reshape(B, V, H, D),
                      out.reshape(B, V, H, D),
                      preferred_element_type=jnp.float32)
@@ -607,9 +720,12 @@ def _pallas_backward_merged(x, pos, wq, bq, wk, bk, wv, bv, win_id,
     wacc = ((pad_r - pad + width + 15) // 16) * 16
     rows_acc = ((V - tile + wacc + 15) // 16) * 16
 
+    import os
     kern = functools.partial(_bwd_merged_kernel, tile=tile, pad=pad,
                              width=width, nheads=H, head_dim=D, bb=bb,
-                             pad_r=pad_r, wacc=wacc)
+                             pad_r=pad_r, wacc=wacc, pack=_pack_on(),
+                             pack_hg=int(os.environ.get(
+                                 "GEOMAE_ATTN_PACK_HG", "4")))
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     tok = lambda c: pl.BlockSpec((1, tile, c), lambda b, i, *_: (b, i, 0),
                                  memory_space=pltpu.VMEM)
@@ -680,7 +796,13 @@ def _pallas_backward_split(x, pos, wq, bq, wk, bk, wv, bv, win_id,
     D = C // H
 
     xp, pp, aux, win_f = _band_inputs_x(x, pos, win_id, key_valid, pad)
-    nv = jnp.sum(win_f < 2.0 ** 24, axis=1).astype(jnp.int32)
+    nv = jnp.max(jnp.where(win_f < 2.0 ** 24,
+                       jnp.arange(win_f.shape[1], dtype=jnp.int32)
+                       + 1, 0), axis=1).astype(jnp.int32)
+    # EXTENT (last real slot + 1), not a count: the tile-packed
+    # layout intersperses bucket-slack holes, so a count would
+    # skip real trailing tiles; for the compact band layout the
+    # two coincide
     gf = g_out
     dvo = jnp.einsum("bvhd,bvhd->bvh", g_out.reshape(B, V, H, D),
                      out.reshape(B, V, H, D),

@@ -114,24 +114,36 @@ def _recompute(x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref, w1_ref,
     return x, at, xhat1, rs1, xm, a1f, h, z2f
 
 
-def _fwd_kernel(x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref, w1_ref,
-                b1_ref, w2_ref, b2_ref, s2_ref, t2_ref, y_ref, *, eps):
-    (x, _at, _xh1, _rs1, _xm, _a1f, _h, z2f) = _recompute(
-        x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref, w1_ref, b1_ref,
-        w2_ref, b2_ref, eps)
-    _xhat2, _rs2, y_f = _ln_f32(z2f, s2_ref[0], t2_ref[0], eps)
-    y_ref[0] = y_f.astype(x.dtype)
+def _fwd_kernel(nv_ref, x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, t2_ref, y_ref, *,
+                eps, tile):
+    # nv = per-sample extent: tiles past the last real token (the
+    # tile-packed layout's trailing slack) skip compute entirely
+    cur_valid = pl.program_id(1) * tile < nv_ref[pl.program_id(0)]
+
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    @pl.when(cur_valid)
+    def _():
+        (x, _at, _xh1, _rs1, _xm, _a1f, _h, z2f) = _recompute(
+            x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, eps)
+        _xhat2, _rs2, y_f = _ln_f32(z2f, s2_ref[0], t2_ref[0], eps)
+        y_ref[0] = y_f.astype(x.dtype)
 
 
-def _bwd_kernel(x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref, t1_ref,
-                w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, t2_ref,
+def _bwd_kernel(nv_ref, x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref,
+                t1_ref, w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, t2_ref,
                 dx_ref, da_ref, dwo_ref, dbo_ref, ds1_ref, dt1_ref,
                 dw1_ref, db1_ref, dw2_ref, db2_ref, ds2_ref, dt2_ref,
                 wo_acc, bo_acc, s1_acc, t1_acc, w1_acc, b1_acc, w2_acc,
-                b2_acc, s2_acc, t2_acc, sems, *, eps, bb):
+                b2_acc, s2_acc, t2_acc, sems, *, eps, bb, tile):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nt = pl.num_programs(1)
+    cur_valid = i * tile < nv_ref[b]
 
     accs = (wo_acc, bo_acc, s1_acc, t1_acc, w1_acc, b1_acc, w2_acc, b2_acc,
             s2_acc, t2_acc)
@@ -143,6 +155,31 @@ def _bwd_kernel(x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref, t1_ref,
         for acc in accs:
             acc[...] = jnp.zeros_like(acc)
 
+    @pl.when(jnp.logical_not(cur_valid))
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+
+    @pl.when(cur_valid)
+    def _body():
+        _bwd_body(x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref, t1_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, t2_ref, dx_ref,
+                  da_ref, wo_acc, bo_acc, s1_acc, t1_acc, w1_acc, b1_acc,
+                  w2_acc, b2_acc, s2_acc, t2_acc, eps)
+
+    @pl.when((jax.lax.rem(b, bb) == bb - 1) & (i == nt - 1))
+    def _():
+        g = b // bb
+        for j, (acc, out) in enumerate(zip(accs, outs)):
+            pltpu.make_async_copy(acc, out.at[g], sems.at[j]).start()
+        for j, (acc, out) in enumerate(zip(accs, outs)):
+            pltpu.make_async_copy(acc, out.at[g], sems.at[j]).wait()
+
+
+def _bwd_body(x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref, t1_ref,
+              w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, t2_ref, dx_ref,
+              da_ref, wo_acc, bo_acc, s1_acc, t1_acc, w1_acc, b1_acc,
+              w2_acc, b2_acc, s2_acc, t2_acc, eps):
     x, at, xhat1, rs1, xm, a1f, h, z2f = _recompute(
         x_ref, a_ref, wo_ref, bo_ref, s1_ref, t1_ref, w1_ref, b1_ref,
         w2_ref, b2_ref, eps)
@@ -192,19 +229,12 @@ def _bwd_kernel(x_ref, a_ref, dy_ref, wo_ref, bo_ref, s1_ref, t1_ref,
     dx_ref[0] = dz1
     da_ref[0] = dat.astype(dt)
 
-    @pl.when((jax.lax.rem(b, bb) == bb - 1) & (i == nt - 1))
-    def _():
-        g = b // bb
-        for j, (acc, out) in enumerate(zip(accs, outs)):
-            pltpu.make_async_copy(acc, out.at[g], sems.at[j]).start()
-        for j, (acc, out) in enumerate(zip(accs, outs)):
-            pltpu.make_async_copy(acc, out.at[g], sems.at[j]).wait()
-
 
 def _specs(B, V, C, F, tile, bb):
-    tok = lambda: pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+    tok = lambda: pl.BlockSpec((1, tile, C), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM)
-    grp = lambda r, c: pl.BlockSpec((1, r, c), lambda b, i: (b // bb, 0, 0),
+    grp = lambda r, c: pl.BlockSpec((1, r, c),
+                                    lambda b, i, *_: (b // bb, 0, 0),
                                     memory_space=pltpu.VMEM)
     weights = [grp(C, C), grp(1, C),            # wo, bo
                grp(1, C), grp(1, C),            # s1, t1
@@ -224,28 +254,38 @@ def _prep_weights(dtype, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2):
             s2.astype(f)[:, None], t2.astype(f)[:, None])
 
 
-def _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, eps, tile,
-             interpret):
+def _nv_or_full(nv, B, V):
+    if nv is None:
+        return jnp.full((B,), V, jnp.int32)
+    return nv.astype(jnp.int32)
+
+
+def _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv, eps,
+             tile, interpret):
     B, V, C = x.shape
     G = wo.shape[0]
     F = w1.shape[-1]
     assert B % G == 0 and V % tile == 0, (B, G, V, tile)
     bb = B // G
     tok, weights = _specs(B, V, C, F, tile, bb)
-    y = pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, V // tile),
         in_specs=[tok(), tok()] + weights,
         out_specs=tok(),
+    )
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps, tile=tile),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, V, C), x.dtype),
         interpret=interpret,
-    )(x, attn, *_prep_weights(x.dtype, wo, bo, s1, t1, w1, b1, w2, b2,
-                              s2, t2))
+    )(_nv_or_full(nv, B, V), x, attn,
+      *_prep_weights(x.dtype, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2))
     return y
 
 
-def _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, dy, eps,
-              tile, interpret):
+def _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv, dy,
+              eps, tile, interpret):
     B, V, C = x.shape
     G = wo.shape[0]
     F = w1.shape[-1]
@@ -267,12 +307,11 @@ def _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, dy, eps,
         jax.ShapeDtypeStruct((G, 1, C), f),            # ds2
         jax.ShapeDtypeStruct((G, 1, C), f),            # dt2
     )
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, bb=bb),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, V // tile),
         in_specs=[tok(), tok(), tok()] + weights,
         out_specs=(tok(), tok()) + (anyspec,) * 10,
-        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((C, C), f), pltpu.VMEM((1, C), f),
             pltpu.VMEM((1, C), f), pltpu.VMEM((1, C), f),
@@ -281,18 +320,24 @@ def _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, dy, eps,
             pltpu.VMEM((1, C), f), pltpu.VMEM((1, C), f),
             pltpu.SemaphoreType.DMA((10,)),
         ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, bb=bb, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
         interpret=interpret,
-    )(x, attn, dy, *_prep_weights(x.dtype, wo, bo, s1, t1, w1, b1, w2, b2,
-                                  s2, t2))
+    )(_nv_or_full(nv, B, V), x, attn, dy,
+      *_prep_weights(x.dtype, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2))
     (dx, dattn, dwo, dbo, ds1, dt1, dw1, db1, dw2, db2, ds2, dt2) = outs
     sq = lambda a: a[:, 0]
     return (dx, dattn, dwo, sq(dbo), sq(ds1), sq(dt1), dw1, sq(db1), dw2,
             sq(db2), sq(ds2), sq(dt2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
 def post_attention_block(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2,
-                         eps: float = 1e-5, tile: int = DEFAULT_TILE,
+                         nv=None, eps: float = 1e-5,
+                         tile: int = DEFAULT_TILE,
                          interpret: bool = False):
     """Fused ``LN2(LN1(x + attn@Wo+bo) + FFN(...))`` (module docstring).
 
@@ -300,26 +345,26 @@ def post_attention_block(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2,
     leading group axis [G, ...] with ``B % G == 0`` and tokens
     group-major (G=1 for ungrouped layers); LN params are f32.
     """
-    return _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, eps,
-                    tile, interpret)
+    return _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv,
+                    eps, tile, interpret)
 
 
-def _vjp_fwd(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, eps, tile,
-             interpret):
-    y = _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, eps,
-                 tile, interpret)
-    return y, (x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2)
+def _vjp_fwd(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv, eps,
+             tile, interpret):
+    y = _forward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv,
+                 eps, tile, interpret)
+    return y, (x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv)
 
 
 def _vjp_bwd(eps, tile, interpret, res, dy):
-    x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2 = res
-    grads = _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, dy,
-                      eps, tile, interpret)
+    x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv = res
+    grads = _backward(x, attn, wo, bo, s1, t1, w1, b1, w2, b2, s2, t2, nv,
+                      dy, eps, tile, interpret)
     (dx, dattn, dwo, dbo, ds1, dt1, dw1, db1, dw2, db2, ds2, dt2) = grads
     cast = lambda g, p: g.astype(p.dtype)
     return (dx, dattn, cast(dwo, wo), cast(dbo, bo), cast(ds1, s1),
             cast(dt1, t1), cast(dw1, w1), cast(db1, b1), cast(dw2, w2),
-            cast(db2, b2), cast(ds2, s2), cast(dt2, t2))
+            cast(db2, b2), cast(ds2, s2), cast(dt2, t2), None)
 
 
 post_attention_block.defvjp(_vjp_fwd, _vjp_bwd)

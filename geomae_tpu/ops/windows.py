@@ -34,9 +34,14 @@ class WindowLayout(NamedTuple):
     """Per-shift sorted window layout (leading batch dim once vmapped).
 
     Attributes:
-      perm:     int32 [V] — ``perm[s]`` = table row at sorted position s.
-      inv_perm: int32 [V] — sorted position of each table row.
-      win_id:   int32 [V] — window id at each *sorted* position (invalid
+      perm:     int32 [S] — ``perm[s]`` = table row at sorted position s.
+                S == V for the band layout; S == V_pack (2V) for the
+                tile-packed layout, where hole slots hold INT32_MAX
+                (gathers through :func:`geomae_tpu.ops.scatter.
+                gather_injective` read 0 there).
+      inv_perm: int32 [V] — sorted position of each table row (INT32_MAX
+                for invalid rows in the packed layout).
+      win_id:   int32 [S] — window id at each *sorted* position (invalid
                 rows hold INT32_MAX so they sort last and match nothing).
       coors_in_win: int32 [V, 2] — (x, y) offsets inside the window, in
                 *row* order (not sorted order), matching the reference's
@@ -91,6 +96,8 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
 
     The shifts ride a stacked leading axis through ONE pair of batched
     argsorts ([S*B, V] instead of S separate [B, V] sort launches)."""
+    if getattr(sst, "band_layout", "band") == "tilepack":
+        return make_layouts_packed(coords, valid, sst, voxel)
     wins, ciws = [], []
     for shift in sst.shifts:
         w, c = jax.vmap(lambda cc, mm, s=shift: window_ids(
@@ -106,6 +113,86 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
                      win_id=win_sorted[s], coors_in_win=ciws[s])
         for s in range(len(sst.shifts)))
 
+
+
+PACK_TILE = 256
+
+
+def _pow2ceil(s: jnp.ndarray) -> jnp.ndarray:
+    """Smallest power of two >= s (exact in f32 for s <= 2^24; s <= 256
+    here).  0 stays 0."""
+    b = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s, 1).astype(jnp.float32))))
+    return jnp.where(s > 0, b.astype(jnp.int32), 0)
+
+
+def packed_layout(win: jnp.ndarray, ciw: jnp.ndarray,
+                  v_pack: int) -> WindowLayout:
+    """Tile-packed layout for one sample/shift: every window occupies one
+    contiguous run that NEVER straddles a ``PACK_TILE`` boundary, so band
+    attention runs with pad=0 (score width = tile instead of tile+2*192).
+
+    Construction is pure sort+cumsum: window sizes round UP to powers of
+    two and windows are ordered by bucket size descending.  Each window's
+    offset is then a cumsum of larger-or-equal powers of two, hence a
+    multiple of its own bucket — size-aligned placement cannot cross a
+    256 boundary.  Total extent <= 2V (worst-case rounding), so
+    ``v_pack = 2V`` is always sufficient and nothing is ever dropped
+    (the reference's drop-free contract, SURVEY §8.4).  Hole slots carry
+    INT32_MAX; real content is a prefix of ``extent = sum(buckets)``
+    rows, so trailing tiles skip via the kernels' nv logic.
+    """
+    V = win.shape[0]
+    pos = jnp.arange(V, dtype=jnp.int32)
+    perm0 = jnp.argsort(win, stable=True).astype(jnp.int32)
+    inv0 = jnp.argsort(perm0).astype(jnp.int32)
+    win_s = win[perm0]
+    valid_s = win_s != INT32_MAX
+    first = jnp.concatenate(
+        [valid_s[:1], win_s[1:] != win_s[:-1]]) & valid_s
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0))
+    rank = pos - seg_start
+    wrank = jnp.cumsum(first.astype(jnp.int32)) - 1        # window idx/token
+    n_win = jnp.sum(first.astype(jnp.int32))
+
+    last = jnp.concatenate([win_s[1:] != win_s[:-1],
+                            jnp.ones((1,), bool)]) & valid_s
+    # order-preserving compaction of per-window sizes: sort by
+    # position-if-last carries sizes to the prefix in window order
+    _, sizes = jax.lax.sort(
+        (jnp.where(last, pos, INT32_MAX), rank + 1), num_keys=1)
+    sizes = jnp.where(pos < n_win, sizes, 0)               # [V] window order
+    buckets = _pow2ceil(sizes)
+
+    ord2 = jnp.argsort(-buckets, stable=True).astype(jnp.int32)
+    b_sorted = buckets[ord2]
+    offs = jnp.cumsum(b_sorted) - b_sorted                 # exclusive
+    woff = offs[jnp.argsort(ord2)]                         # window order
+
+    d = jnp.where(valid_s,
+                  woff[jnp.maximum(wrank, 0)] + rank, INT32_MAX)
+    perm_packed = jnp.full((v_pack,), INT32_MAX, jnp.int32) \
+        .at[d].set(perm0, mode="drop", unique_indices=True)
+    inv_packed = jnp.where(win != INT32_MAX, d[inv0], INT32_MAX)
+    win_packed = jnp.where(perm_packed != INT32_MAX,
+                           win[jnp.minimum(perm_packed, V - 1)], INT32_MAX)
+    return WindowLayout(perm=perm_packed, inv_perm=inv_packed,
+                        win_id=win_packed, coors_in_win=ciw)
+
+
+def make_layouts_packed(coords: jnp.ndarray, valid: jnp.ndarray,
+                        sst: SSTConfig,
+                        voxel: VoxelConfig) -> Tuple[WindowLayout, ...]:
+    """Tile-packed layouts for all shifts, batched ([B, V] inputs)."""
+    V = coords.shape[1]
+    v_pack = 2 * V
+    outs = []
+    for shift in sst.shifts:
+        w, c = jax.vmap(lambda cc, mm, s=shift: window_ids(
+            cc, mm, s, sst, voxel))(coords, valid)
+        outs.append(jax.vmap(lambda ww, cc: packed_layout(
+            ww, cc, v_pack))(w, c))
+    return tuple(outs)
 
 
 def positional_embedding(coors_in_win: jnp.ndarray, sst: SSTConfig,

@@ -152,3 +152,82 @@ def test_merged_backward_matches_split(rng, monkeypatch):
     for k in sorted(ws):
         np.testing.assert_allclose(np.asarray(gw_m[k]), np.asarray(gw_s[k]),
                                    rtol=1e-3, atol=1e-3, err_msg=k)
+
+
+def test_tilepack_layout_matches_band(rng):
+    """Tile-packed layout (pad=0 attention) == band layout, both einsum
+    and qkv kernels, same params — the layout is a pure reordering."""
+    from geomae_tpu.config import geomae_pretrain_nus, replace
+    from geomae_tpu.ops.windows import make_layouts
+    from geomae_tpu.models.sst import SSTStack, prepare_shift_data
+
+    cfg = geomae_pretrain_nus()
+    B, V, C = 1, 384, 128
+    coords = np.stack([rng.integers(0, 30, (B, V)),
+                       rng.integers(0, 30, (B, V))], -1).astype(np.int32)
+    valid = rng.random((B, V)) > 0.2
+    x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+
+    outs = {}
+    for layout, impl in (("band", "einsum"), ("tilepack", "einsum"),
+                         ("tilepack", "qkv")):
+        sst = replace(cfg.sst, attention_impl=impl, band_layout=layout,
+                      ffn_impl="xla")
+        lays = make_layouts(jnp.asarray(coords), jnp.asarray(valid), sst,
+                            cfg.voxel)
+        data = prepare_shift_data(lays, None, jnp.asarray(valid), sst,
+                                  cfg.voxel)
+        stack = SSTStack(sst, 1, jnp.float32)
+        params = stack.init(jax.random.PRNGKey(0), x, data)["params"]
+        outs[(layout, impl)] = np.asarray(
+            stack.apply({"params": params}, x, data))
+    v = np.asarray(valid)
+    base = outs[("band", "einsum")][v]
+    np.testing.assert_allclose(outs[("tilepack", "einsum")][v], base,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[("tilepack", "qkv")][v], base,
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_tilepack_gradients_match_band(rng):
+    """Stack gradients through the tile-packed layout (qkv kernels +
+    fused FFN with extent skip, pad=0) == band einsum gradients."""
+    from geomae_tpu.config import geomae_pretrain_nus, replace
+    from geomae_tpu.ops.windows import make_layouts
+    from geomae_tpu.models.sst import SSTStack, prepare_shift_data
+
+    cfg = geomae_pretrain_nus()
+    B, V, C = 1, 384, 128
+    coords = np.stack([rng.integers(0, 30, (B, V)),
+                       rng.integers(0, 30, (B, V))], -1).astype(np.int32)
+    valid = rng.random((B, V)) > 0.2
+    x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+    vmask = jnp.asarray(valid)[..., None]
+
+    grads = {}
+    for layout, impl, ffn in (("band", "einsum", "xla"),
+                              ("tilepack", "qkv", "fused")):
+        sst = replace(cfg.sst, attention_impl=impl, band_layout=layout,
+                      ffn_impl=ffn)
+        lays = make_layouts(jnp.asarray(coords), jnp.asarray(valid), sst,
+                            cfg.voxel)
+        data = prepare_shift_data(lays, None, jnp.asarray(valid), sst,
+                                  cfg.voxel)
+        stack = SSTStack(sst, 1, jnp.float32)
+        params = stack.init(jax.random.PRNGKey(0), x, data)["params"]
+
+        def loss(p, x_):
+            y = stack.apply({"params": p}, x_, data)
+            return jnp.sum(jnp.where(vmask, y, 0.0) ** 2)
+
+        grads[layout] = jax.grad(loss, argnums=(0, 1))(params, x)
+    gp_b, gx_b = grads["band"]
+    gp_t, gx_t = grads["tilepack"]
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_b),
+                               rtol=2e-3, atol=2e-4)
+    flat_b = jax.tree_util.tree_leaves_with_path(gp_b)
+    flat_t = dict(jax.tree_util.tree_leaves_with_path(gp_t))
+    for path, g in flat_b:
+        np.testing.assert_allclose(np.asarray(flat_t[path]), np.asarray(g),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=str(path))

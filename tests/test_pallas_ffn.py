@@ -57,7 +57,7 @@ def test_forward_matches_xla(rng, G):
     x, attn, ws = make_case(rng, B=2 * G, G=G)
     args = [ws[k] for k in ORDER]
     ref = ref_block(x, attn, *args)
-    got = post_attention_block(x, attn, *args, 1e-5, 64, True)
+    got = post_attention_block(x, attn, *args, None, 1e-5, 64, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -71,7 +71,7 @@ def test_grads_match_xla(rng, G):
         return jnp.sum(ref_block(x_, a_, *ws_).astype(jnp.float32) ** 2)
 
     def loss_pal(x_, a_, *ws_):
-        y = post_attention_block(x_, a_, *ws_, 1e-5, 64, True)
+        y = post_attention_block(x_, a_, *ws_, None, 1e-5, 64, True)
         return jnp.sum(y.astype(jnp.float32) ** 2)
 
     nargs = 2 + len(args)
@@ -87,7 +87,7 @@ def test_bf16_forward_close(rng):
     x, attn, ws = make_case(rng, B=2, dtype=jnp.bfloat16)
     args = [ws[k] for k in ORDER]
     ref = ref_block(x, attn, *args)
-    got = post_attention_block(x, attn, *args, 1e-5, 64, True)
+    got = post_attention_block(x, attn, *args, None, 1e-5, 64, True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.05)
@@ -151,3 +151,29 @@ def test_encoder_layer_fused_matches_xla(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
                                    rtol=3e-5, atol=3e-5)
+
+
+def test_nv_extent_skip(rng):
+    """Tiles at/after nv produce zero outputs and zero grads; the real
+    prefix matches the unskipped run exactly."""
+    x, attn, ws = make_case(rng, B=2, V=256, G=1)
+    args = [ws[k] for k in ORDER]
+    nv = jnp.array([128, 192], jnp.int32)
+
+    full = post_attention_block(x, attn, *args, None, 1e-5, 64, True)
+    skip = post_attention_block(x, attn, *args, nv, 1e-5, 64, True)
+    for b, n in enumerate([128, 192]):
+        np.testing.assert_array_equal(np.asarray(skip)[b, :n],
+                                      np.asarray(full)[b, :n])
+        assert np.all(np.asarray(skip)[b, n:] == 0.0)
+
+    def loss(x_, nv_):
+        y = post_attention_block(x_, attn, *args, nv_, 1e-5, 64, True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gx_s = jax.grad(loss)(x, nv)
+    gx_f = jax.grad(loss)(x, None)
+    for b, n in enumerate([128, 192]):
+        np.testing.assert_array_equal(np.asarray(gx_s)[b, :n],
+                                      np.asarray(gx_f)[b, :n])
+        assert np.all(np.asarray(gx_s)[b, n:] == 0.0)

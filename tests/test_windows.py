@@ -174,3 +174,45 @@ def test_composed_shift_permutations(rng):
     # exit restores row order
     back = _permute(got_s1, ei, ep)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_packed_layout_properties(rng):
+    """Tile-packed layout: every real token exactly once, windows
+    contiguous AND never straddling a 256 boundary, inverse consistent."""
+    from geomae_tpu.config import SSTConfig, VoxelConfig
+    from geomae_tpu.ops.windows import (PACK_TILE, make_layouts_packed,
+                                        window_ids)
+
+    sst = SSTConfig()
+    voxel = VoxelConfig(point_cloud_range=(-50.0, -50.0, -5.0, 50.0, 50.0,
+                                           3.0), voxel_size=(0.25, 0.25, 8.0))
+    V, B = 1024, 2
+    coords = rng.integers(0, 400, (B, V, 2)).astype(np.int32)
+    valid = rng.random((B, V)) < 0.8
+    lays = make_layouts_packed(jnp.asarray(coords), jnp.asarray(valid),
+                               sst, voxel)
+    assert len(lays) == len(sst.shifts)
+    for s_i, lay in enumerate(lays):
+        perm = np.asarray(lay.perm)
+        inv = np.asarray(lay.inv_perm)
+        win_p = np.asarray(lay.win_id)
+        assert perm.shape == (B, 2 * V)
+        for b in range(B):
+            real = perm[b][perm[b] != np.iinfo(np.int32).max]
+            want = np.where(valid[b])[0]
+            assert sorted(real.tolist()) == sorted(want.tolist())
+            # inverse consistency
+            for r in want:
+                assert perm[b, inv[b, r]] == r
+            # window contiguity + no 256-straddle + win_id correctness
+            win_row, _ = window_ids(jnp.asarray(coords[b]),
+                                    jnp.asarray(valid[b]),
+                                    sst.shifts[s_i], sst, voxel)
+            win_row = np.asarray(win_row)
+            slots = np.where(perm[b] != np.iinfo(np.int32).max)[0]
+            np.testing.assert_array_equal(win_p[b, slots],
+                                          win_row[perm[b, slots]])
+            for w in np.unique(win_row[want]):
+                ws = slots[win_p[b, slots] == w]
+                assert ws.max() - ws.min() + 1 == len(ws)  # contiguous
+                assert ws.min() // PACK_TILE == ws.max() // PACK_TILE
