@@ -26,6 +26,10 @@ from geomae_tpu.ops.windows import make_layouts  # noqa: E402
 
 def main():
     cfg = geomae_pretrain_nus()
+    layout = os.environ.get("GEOMAE_BAND_LAYOUT")
+    if layout:
+        from geomae_tpu.config import replace as _rep
+        cfg = _rep(cfg, sst=_rep(cfg.sst, band_layout=layout))
     cfg = replace(cfg, caps=CapsConfig(max_points=262144, max_voxels=20480,
                                        max_visible=8192))
     B = 4
@@ -46,6 +50,8 @@ def main():
 
     G, C, H = 2, cfg.sst.d_model, cfg.sst.nhead
     V = cfg.caps.max_voxels
+    if cfg.sst.band_layout == "tilepack":
+        V = 2 * V
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (G * B, V, C), jnp.bfloat16)
     pos = ld["pos_sorted"].astype(jnp.bfloat16)
@@ -80,6 +86,12 @@ def main():
     from geomae_tpu.ops.pallas_attention import DEFAULT_PAD
     from geomae_tpu.ops.pallas_attention_qkv import band_attention_qkv
     from geomae_tpu.ops.pallas_ffn import post_attention_block
+    if cfg.sst.band_layout == "tilepack":
+        DEFAULT_PAD = 0
+    nv = jnp.max(jnp.where(ld["win_id"] < 2 ** 24,
+                           jnp.arange(V, dtype=jnp.int32)[None] + 1, 0),
+                 axis=-1).astype(jnp.int32)
+    print("extent/V:", np.asarray(nv) / cfg.caps.max_voxels, flush=True)
     raw = jax.random.normal(key, (G * B, V, C), jnp.bfloat16)
 
     # chain N calls inside ONE jit program and divide — single-call
