@@ -125,11 +125,18 @@ class SSTConfig:
     # token layout for windowed attention:
     #   "band":     window-sorted tokens; each 256-query tile attends a
     #               fixed ±192 overlap band (width 640) masked by window.
+    #               DEFAULT — measured 18.8 samples/s on the full v5e
+    #               bench step (round 5 A/B).
     #   "tilepack": windows rounded to power-of-2 buckets and packed
     #               descending so NO window straddles a 256 boundary —
-    #               attention runs with pad=0 (width 256, ~1.6x fewer
-    #               padded score FLOPs at measured nuScenes window stats;
-    #               extent <= 2V guaranteed, trailing tiles skipped).
+    #               attention runs with pad=0 (width 256).  QUARANTINED:
+    #               measured END-TO-END SLOWER (13.9 vs 18.8 samples/s,
+    #               round-5 v5e A/B) — the [2V] slot space doubles every
+    #               non-attention per-token op (permutes, pos-embed,
+    #               sorted gathers) and the packed-layout build adds ~5
+    #               sorts + a scatter per shift, outweighing the ~1.6x
+    #               score-FLOP win.  Kept parity-tested as the reference
+    #               point for future layout work.
     band_layout: str = "band"         # "band"|"tilepack"
     # rematerialize whole SST blocks in backward (torch checkpoint_blocks
     # analogue).  With the fused Pallas attention backward, activations are

@@ -287,6 +287,11 @@ def center_head_decode(task_preds: List[Dict[str, jnp.ndarray]],
                        cfg: CenterHeadConfig,
                        voxel: VoxelConfig) -> Detections:
     """Batched decode -> fixed-size Detections (like the anchor head)."""
+    if isinstance(cfg.nms_thr, (tuple, list)) and \
+            len(cfg.nms_thr) != len(cfg.tasks):
+        raise ValueError(
+            f"per-task nms_thr needs one threshold per task: got "
+            f"{len(cfg.nms_thr)} thresholds for {len(cfg.tasks)} tasks")
 
     def one(preds_flat):
         all_boxes, all_scores, all_labels, all_valid = [], [], [], []

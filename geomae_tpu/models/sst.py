@@ -135,6 +135,25 @@ def _is_tpu_backend() -> bool:
         d, "device_kind", "")
 
 
+def _tilepack_pad_tile(band_layout: str, V: int):
+    """(pad, tile) for the banded attention kernels.
+
+    With the tile-packed layout pad=0 requires tile == PACK_TILE: packing
+    aligns windows to PACK_TILE boundaries only, so any other tile can
+    split a window across tiles and the pad-0 band would drop attention
+    mass.  Shapes are static, so these are trace-time asserts."""
+    from ..ops.pallas_attention import DEFAULT_PAD
+    from ..ops.windows import PACK_TILE
+    if band_layout == "tilepack":
+        if V % PACK_TILE != 0:
+            raise ValueError(
+                f"tilepack requires the packed slot space ({V}) to be a "
+                f"multiple of PACK_TILE={PACK_TILE}; pick max_voxels so "
+                f"2*V divides {PACK_TILE}")
+        return 0, PACK_TILE
+    return DEFAULT_PAD, (256 if V % 256 == 0 else 128)
+
+
 def _select_attention(impl: str, layer_data: dict | None = None):
     """Pick the attention backend: "qkv" (band kernels with in-kernel
     q/k/v projections — what "auto" resolves to on TPU; measured v5e
@@ -240,15 +259,17 @@ class WindowMHA(nn.Module):
             fused = None
         if fused is not None and fused[0] == "qkv":
             from ..ops.pallas_attention import DEFAULT_PAD
-            # tilepack: windows never straddle 256-tile boundaries, so the
-            # overlap band (pad) vanishes — score width 256 instead of 640
-            pad = 0 if self.band_layout == "tilepack" else DEFAULT_PAD
+            # tilepack: windows never straddle PACK_TILE boundaries, so the
+            # overlap band (pad) vanishes — score width 256 instead of 640.
+            # pad=0 is only sound when the attention tile IS the packing
+            # tile: a smaller tile would split size-256 windows across
+            # tiles and silently drop attention mass (ADVICE r4).
+            pad, tile = _tilepack_pad_tile(self.band_layout, V)
             # in-kernel projections: declare Dense-compatible params only
             dp = lambda name: _DenseParams(C, C, name=name)()
             wq, bq = dp("q_proj")
             wk, bk = dp("k_proj")
             wv, bv = dp("v_proj")
-            tile = 256 if V % 256 == 0 else 128
             out = fused[1](x_s, pos, wq[None], bq[None], wk[None], bk[None],
                            wv[None], bv[None], layer_data["win_id"],
                            layer_data["key_valid_sorted"], H, tile,
@@ -434,14 +455,12 @@ class GroupedWindowMHA(nn.Module):
                                    and V % 128 != 0)):
             fused = None
         if fused is not None and fused[0] == "qkv":
-            from ..ops.pallas_attention import DEFAULT_PAD
-            pad = 0 if self.band_layout == "tilepack" else DEFAULT_PAD
+            pad, tile = _tilepack_pad_tile(self.band_layout, V)
             # tokens are group-major [G*B, V, C]; weights ride [G, C, C]
             gp = lambda name: _GroupedDenseParams(G, C, C, name=name)()
             wq, bq = gp("q_proj")
             wk, bk = gp("k_proj")
             wv, bv = gp("v_proj")
-            tile = 256 if V % 256 == 0 else 128
             out = fused[1](x_s, pos, wq, bq, wk, bk, wv, bv,
                            layer_data["win_id"],
                            layer_data["key_valid_sorted"], H, tile,

@@ -184,6 +184,12 @@ def make_layouts_packed(coords: jnp.ndarray, valid: jnp.ndarray,
                         sst: SSTConfig,
                         voxel: VoxelConfig) -> Tuple[WindowLayout, ...]:
     """Tile-packed layouts for all shifts, batched ([B, V] inputs)."""
+    win_x, win_y = sst.window_shape
+    if win_x * win_y > PACK_TILE:
+        raise ValueError(
+            f"tilepack packs windows into {PACK_TILE}-token tiles; window "
+            f"shape {sst.window_shape} holds up to {win_x * win_y} tokens "
+            f"— use band_layout='band' for windows larger than {PACK_TILE}")
     V = coords.shape[1]
     v_pack = 2 * V
     outs = []
