@@ -78,7 +78,9 @@ def _gt_care_masks(gt: Dict, cls: str, difficulty: int):
     occ = np.asarray(gt.get("occluded", np.zeros(n, np.int64)))
     hmin = np.asarray(gt.get("bbox_height", np.full(n, np.inf)))
     max_tr, max_occ, min_h = DIFFICULTY[difficulty]
-    passes = (trunc <= max_tr) & (occ <= max_occ) & (hmin >= min_h)
+    # devkit clean_data ignores at ``height <= MIN_HEIGHT`` (strict pass
+    # requires > min_h; reference eval.py:53-55)
+    passes = (trunc <= max_tr) & (occ <= max_occ) & (hmin > min_h)
     care = is_cls & passes
     ignore = (is_cls & ~passes) | is_similar
     return care, ignore
@@ -99,6 +101,141 @@ def ap_r40(scores: np.ndarray, is_tp: np.ndarray, n_gt: int) -> float:
     idx = np.searchsorted(rec, rs, side="left")
     vals = np.where(idx < len(rec), env[np.minimum(idx, len(rec) - 1)], 0.0)
     return float(vals.mean())
+
+
+# ---------------------------------------------------------------------------
+# exact reference protocol (11-point AP over 41 sampled thresholds)
+# ---------------------------------------------------------------------------
+
+_NO_DET = -10000000.0
+
+
+def _ref_thresholds(scores: np.ndarray, num_gt: int,
+                    num_sample_pts: int = 41) -> List[float]:
+    """Score thresholds at ~1/40 recall steps (``get_thresholds``,
+    reference ``kitti_utils/eval.py:8-26``)."""
+    scores = np.sort(np.asarray(scores))[::-1]
+    current_recall = 0.0
+    thresholds: List[float] = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(float(score))
+        current_recall += 1 / (num_sample_pts - 1.0)
+    return thresholds
+
+
+def _det_states(pred: Dict, cls: str, difficulty: int) -> np.ndarray:
+    """Detection states per ``clean_data`` (``eval.py:68-79``): 1 =
+    ignored (2D box below the difficulty's min height — regardless of
+    class), 0 = counted (right class), -1 = skipped."""
+    names = np.asarray(pred["names"])
+    n = len(names)
+    h = np.asarray(pred.get("bbox_height", np.full(n, np.inf)))
+    min_h = DIFFICULTY[difficulty][2]
+    return np.where(h < min_h, 1, np.where(names == cls, 0, -1))
+
+
+def _stats_frame(iou: np.ndarray, scores: np.ndarray, gt_state: np.ndarray,
+                 det_state: np.ndarray, min_overlap: float, thresh: float,
+                 compute_fp: bool):
+    """Per-frame matching statistics (``compute_statistics_jit``,
+    ``eval.py:162-280``; metric >= 1 so DontCare 2D boxes never apply).
+
+    gt_state / det_state: 0 counted, 1 ignored, -1 skipped.
+    Returns (tp, fp, fn, tp_scores)."""
+    D, G = iou.shape
+    assigned = np.zeros(D, bool)
+    ignored_thr = (scores < thresh) if compute_fp else np.zeros(D, bool)
+    tp = fp = fn = 0
+    tp_scores: List[float] = []
+    for i in range(G):
+        if gt_state[i] == -1:
+            continue
+        det_idx, valid = -1, _NO_DET
+        max_ov, assigned_ig = 0.0, False
+        for j in range(D):
+            if det_state[j] == -1 or assigned[j] or ignored_thr[j]:
+                continue
+            ov = iou[j, i]
+            if not compute_fp and ov > min_overlap and scores[j] > valid:
+                det_idx, valid = j, scores[j]
+            elif (compute_fp and ov > min_overlap
+                  and (ov > max_ov or assigned_ig) and det_state[j] == 0):
+                max_ov, det_idx, valid, assigned_ig = ov, j, 1.0, False
+            elif (compute_fp and ov > min_overlap and valid == _NO_DET
+                  and det_state[j] == 1):
+                det_idx, valid, assigned_ig = j, 1.0, True
+        if valid == _NO_DET and gt_state[i] == 0:
+            fn += 1
+        elif valid != _NO_DET and (gt_state[i] == 1
+                                   or det_state[det_idx] == 1):
+            assigned[det_idx] = True
+        elif valid != _NO_DET:
+            tp += 1
+            tp_scores.append(float(scores[det_idx]))
+            assigned[det_idx] = True
+    if compute_fp:
+        fp = int(np.sum(~assigned & (det_state == 0) & ~ignored_thr))
+    return tp, fp, fn, tp_scores
+
+
+def evaluate_kitti_ap11(predictions: List[Dict], ground_truths: List[Dict],
+                        classes: Sequence[str] = CLASSES,
+                        metric: str = "3d") -> Dict[str, float]:
+    """EXACT reference protocol: 11-point interpolated AP over 41 score
+    thresholds sampled at ~1/40 recall steps (``eval_class`` +
+    ``get_mAP``, reference ``kitti_utils/eval.py:450-576``) — the number
+    the reference's ``kitti_eval`` prints (scaled here to [0, 1], the
+    reference multiplies by 100).  Golden-diffed against the extracted
+    reference code in ``tests/test_kitti_eval_golden.py``.
+
+    Same input schema as :func:`evaluate_kitti`; predictions may carry
+    ``bbox_height`` for the devkit's low-detection ignore rule."""
+    iou_fn = _iou3d if metric == "3d" else _bev_iou
+    out: Dict[str, float] = {}
+    for cls in classes:
+        min_ov = IOU_THRESHOLDS.get(cls, 0.5)
+        for d, dname in enumerate(("easy", "moderate", "hard")):
+            frames = []
+            n_gt = 0
+            all_tp_scores: List[float] = []
+            for pred, gt in zip(predictions, ground_truths):
+                care, ignore = _gt_care_masks(gt, cls, d)
+                gt_state = np.where(care, 0, np.where(ignore, 1, -1))
+                det_state = _det_states(pred, cls, d)
+                pb = np.asarray(pred["boxes"]).reshape(-1, 7)
+                gb = np.asarray(gt["boxes"]).reshape(-1, 7)
+                sc = np.asarray(pred["scores"], np.float64)
+                iou = iou_fn(pb, gb) if len(pb) and len(gb) else \
+                    np.zeros((len(pb), len(gb)))
+                iou = np.asarray(iou, np.float64)
+                n_gt += int(care.sum())
+                _, _, _, tps = _stats_frame(iou, sc, gt_state, det_state,
+                                            min_ov, 0.0, compute_fp=False)
+                all_tp_scores += tps
+                frames.append((iou, sc, gt_state, det_state))
+            thresholds = _ref_thresholds(np.asarray(all_tp_scores),
+                                         max(n_gt, 1))
+            prec = np.zeros(41)
+            for t, thr in enumerate(thresholds):
+                tp = fp = 0
+                for iou, sc, gs, ds in frames:
+                    tpi, fpi, _, _ = _stats_frame(iou, sc, gs, ds, min_ov,
+                                                  thr, compute_fp=True)
+                    tp += tpi
+                    fp += fpi
+                prec[t] = tp / max(tp + fp, 1)
+            # precision envelope then 11-point sampling (eval.py:556-576)
+            prec = np.maximum.accumulate(prec[::-1])[::-1]
+            out[f"AP11_{metric}_{cls}_{dname}"] = float(
+                prec[0::4].sum() / 11.0)
+    keys = [k for k in out if "_moderate" in k]
+    out[f"mAP11_{metric}_moderate"] = float(np.mean([out[k] for k in keys]))
+    return out
 
 
 def evaluate_kitti(predictions: List[Dict], ground_truths: List[Dict],

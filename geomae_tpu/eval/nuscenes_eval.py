@@ -79,9 +79,11 @@ def velocity_attribute(name: str, vx: float, vy: float) -> str:
     return DEFAULT_ATTRIBUTE.get(name, "")
 
 
-def _yaw_diff(a, b):
-    d = np.abs(a - b) % (2 * np.pi)
-    return np.minimum(d, 2 * np.pi - d)
+def _yaw_diff(a, b, period=2 * np.pi):
+    """Devkit ``angle_diff``: barrier orientation scores with period pi
+    (eval/detection/algo.py), every other class 2*pi."""
+    d = np.abs(a - b) % period
+    return np.minimum(d, period - d)
 
 
 def _aligned_iou3d(box_a, box_b):
@@ -94,7 +96,8 @@ def _aligned_iou3d(box_a, box_b):
 N_ELEM = 101   # devkit DetectionMetricData.nelem
 
 
-def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
+def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float,
+                     period: float = 2 * np.pi):
     """One (class, threshold) accumulation over all frames, mirroring the
     devkit's ``accumulate`` + ``calc_ap`` + ``calc_tp`` step by step
     (nuscenes-devkit eval/detection/algo.py, reimplemented from the
@@ -133,7 +136,7 @@ def accumulate_class(preds: List[Dict], gts: List[Dict], dist_th: float):
                 taken[j] = True
                 te = d[j]
                 se = 1.0 - _aligned_iou3d(pb[i], gb[j])
-                oe = _yaw_diff(pb[i, 6], gb[j, 6])
+                oe = _yaw_diff(pb[i, 6], gb[j, 6], period)
                 ve = float(np.linalg.norm(pb[i, 7:9] - gb[j, 7:9])) \
                     if pb.shape[1] > 7 and gb.shape[1] > 7 else 0.0
                 ae = np.nan
@@ -225,7 +228,9 @@ def evaluate(predictions: List[Dict], ground_truths: List[Dict],
         gts = [_filt(f, False) for f in ground_truths]
         aps, tps = [], None
         for th in DIST_THRESHOLDS:
-            acc = accumulate_class(preds, gts, th)
+            acc = accumulate_class(
+                preds, gts, th,
+                period=np.pi if cname == "barrier" else 2 * np.pi)
             if acc is None:
                 continue
             aps.append(acc["ap"])
