@@ -26,6 +26,60 @@ def replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def _parse_override(text: str):
+    """mmcv ``DictAction`` value semantics (reference ``tools/train.py:
+    62-71``): python literals where possible, comma-separated values
+    become tuples, bare words stay strings."""
+    import ast
+
+    def one(v):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+
+    if "," in text:
+        items = [one(v) for v in text.split(",") if v != ""]
+        return tuple(items)
+    return one(text)
+
+
+def apply_overrides(cfg, options):
+    """Dotted-path config overrides on the frozen dataclass tree — the
+    ``--cfg-options`` analogue of mmcv's config merge:
+
+        apply_overrides(cfg, ["optim.lr=3e-5", "sst.d_model=256",
+                              "voxel.voxel_size=0.2,0.2,8"])
+
+    ``options`` is a list of ``key=value`` strings or a dict.  Unknown
+    paths raise AttributeError with the failing path."""
+    if not options:
+        return cfg
+    if not isinstance(options, dict):
+        options = dict(opt.split("=", 1) for opt in options)
+    for key, raw in options.items():
+        val = _parse_override(raw) if isinstance(raw, str) else raw
+        parts = key.split(".")
+        # walk down, collecting the chain of sub-configs
+        chain = [cfg]
+        for p in parts[:-1]:
+            if not hasattr(chain[-1], p):
+                raise AttributeError(f"no config field '{p}' in '{key}'")
+            chain.append(getattr(chain[-1], p))
+        leaf = parts[-1]
+        if not hasattr(chain[-1], leaf):
+            raise AttributeError(f"no config field '{leaf}' in '{key}'")
+        old = getattr(chain[-1], leaf)
+        if isinstance(old, tuple) and not isinstance(val, tuple):
+            val = (val,) if not isinstance(val, list) else tuple(val)
+        node = dataclasses.replace(chain[-1], **{leaf: val})
+        # rebuild the spine
+        for parent, name in zip(reversed(chain[:-1]), reversed(parts[:-1])):
+            node = dataclasses.replace(parent, **{name: node})
+        cfg = node
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # Geometry / voxelization
 # ---------------------------------------------------------------------------

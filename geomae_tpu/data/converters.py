@@ -177,6 +177,85 @@ def create_nuscenes_infos(root_path: str, out_dir: str,
         print(f"wrote {len(infos)} infos -> {path}")
 
 
+def create_lyft_infos(root_path: str, out_dir: str,
+                      version: str = "v1.01-train", max_sweeps: int = 10,
+                      info_prefix: str = "lyft"):
+    """Lyft info pkls via the lyft SDK (reference
+    ``tools/data_converter/lyft_converter.py:16-100``).  The SDK exposes
+    the nuScenes table API, so the walk is shared with
+    :func:`create_nuscenes_infos`'s helpers; splits come from
+    ``{root_path}/{train,val,test}.txt`` scene-name lists like the
+    reference (``lyft_converter.py:39-44``)."""
+    try:
+        from lyft_dataset_sdk.lyftdataset import LyftDataset as Lyft
+    except ImportError as e:  # pragma: no cover - sdk not in this image
+        raise ImportError(
+            "lyft_dataset_sdk is required for Lyft conversion "
+            "(pip install lyft_dataset_sdk), matching the reference's "
+            "requirements") from e
+
+    lyft = Lyft(data_path=os.path.join(root_path, version),
+                json_path=os.path.join(root_path, version, version),
+                verbose=True)
+
+    def _scene_list(name):
+        path = os.path.join(root_path, f"{name}.txt")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    if version.endswith("test"):
+        train_scenes, val_scenes = _scene_list("test"), []
+    else:
+        train_scenes, val_scenes = _scene_list("train"), _scene_list("val")
+        if not train_scenes:           # no split files: everything -> train
+            train_scenes = [s["name"] for s in lyft.scene]
+    name_to_tok = {s["name"]: s["token"] for s in lyft.scene}
+    train_toks = {name_to_tok[n] for n in train_scenes if n in name_to_tok}
+    val_toks = {name_to_tok[n] for n in val_scenes if n in name_to_tok}
+
+    train_infos, val_infos = [], []
+    for sample in lyft.sample:
+        bucket = train_infos if sample["scene_token"] in train_toks else (
+            val_infos if sample["scene_token"] in val_toks else None)
+        if bucket is None:
+            continue
+        lidar_tok = sample["data"]["LIDAR_TOP"]
+        info = dict(
+            lidar_path=str(lyft.get_sample_data_path(lidar_tok)),
+            token=sample["token"],
+            timestamp=sample["timestamp"],
+            sweeps=_sweeps_for(lyft, lidar_tok, max_sweeps),
+        )
+        if not version.endswith("test"):
+            # lyft annotations carry no velocity / lidar-point counts
+            boxes7, names = [], []
+            _, boxes, _ = lyft.get_sample_data(lidar_tok)
+            for b in boxes:
+                yaw = b.orientation.yaw_pitch_roll[0]
+                boxes7.append([b.center[0], b.center[1],
+                               b.center[2] - b.wlh[2] / 2,
+                               b.wlh[0], b.wlh[1], b.wlh[2], yaw])
+                names.append(b.name)
+            info.update(
+                gt_boxes=np.asarray(boxes7, np.float32).reshape(-1, 7),
+                gt_names=np.asarray(names),
+                gt_velocity=np.zeros((len(names), 2), np.float32),
+                num_lidar_pts=np.ones(len(names), np.int64),
+                valid_flag=np.ones(len(names), bool),
+            )
+        bucket.append(info)
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta = dict(version=version)
+    for split, infos in (("train", train_infos), ("val", val_infos)):
+        path = os.path.join(out_dir, f"{info_prefix}_infos_{split}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(dict(infos=infos, metadata=meta), f)
+        print(f"wrote {len(infos)} infos -> {path}")
+
+
 def create_groundtruth_database(data_root: str, ann_file: str, out_dir: str,
                                 classes=None):
     """GT-database for ObjectSample paste augmentation (reference

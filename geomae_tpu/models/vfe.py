@@ -397,3 +397,15 @@ class DynamicScatterVFE(nn.Module):
                 vmax = jnp.where(table.valid[:, None, :], vmax, 0.0)
 
         return jnp.swapaxes(vmax, 1, 2).astype(self.dtype)
+
+
+# The reference's canvas-based ``DynamicVFE`` (``voxel_encoder.py:93-305``)
+# and ``DynamicScatterVFE`` (``:309-419``) are the same encoder: the
+# subclass docstring says "Same with DynamicVFE but use torch_scatter to
+# avoid construct canvas in map_voxel_center_to_point".  The canvas is
+# purely a gather-back mechanism (scatter voxel row ids into a dense
+# (b, z, y, x) canvas, gather per point); our sorted-segment broadcast
+# implements the identical mapping, so one class serves both registry
+# names.  Only consumer of the canvas variant: the experimental
+# SwinSparseFormer ``occ.py`` config.
+DynamicVFE = DynamicScatterVFE

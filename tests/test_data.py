@@ -124,3 +124,25 @@ def test_lyft_dataset_reader(tmp_path):
     assert sample["gt_boxes"].shape[-1] == 9          # velocity zero-padded
     lbl = sample["gt_labels"][sample["gt_mask"]]
     assert (lbl == LYFT_CLASSES.index("emergency_vehicle")).all()
+
+
+def test_apply_overrides():
+    """--cfg-options dotted-path overrides (mmcv DictAction analogue)."""
+    from geomae_tpu import config as C
+    cfg = C.geomae_pretrain_nus()
+    out = C.apply_overrides(cfg, ["optim.lr=3e-5", "sst.d_model=256",
+                                  "voxel.voxel_size=0.2,0.2,8",
+                                  "compute_dtype=float32",
+                                  "mae.cls_sub_voxel=False"])
+    assert out.optim.lr == 3e-5
+    assert out.sst.d_model == 256
+    assert out.voxel.voxel_size == (0.2, 0.2, 8)
+    assert out.compute_dtype == "float32"
+    assert out.mae.cls_sub_voxel is False
+    assert cfg.optim.lr == 1e-5          # original untouched (frozen tree)
+
+    import pytest
+    with pytest.raises(AttributeError):
+        C.apply_overrides(cfg, ["optim.nope=1"])
+    with pytest.raises(AttributeError):
+        C.apply_overrides(cfg, ["nope.lr=1"])

@@ -162,3 +162,55 @@ def test_complement_selection():
     comp = wc.complement_infos(infos, load_interval=5)
     kept = [x["i"] for x in comp]
     assert kept == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_kitti_info_file_roundtrip(tmp_path):
+    """KITTI tree (6-digit ids, label_2, 4-ch bins) -> infos ->
+    KittiDataset decode recovers the lidar box."""
+    from geomae_tpu.data import kitti_converter as kc
+    from geomae_tpu.data.waymo import KittiDataset
+
+    root = str(tmp_path)
+    sd = os.path.join(root, "training")
+    for sub in ("velodyne", "calib", "label_2"):
+        os.makedirs(os.path.join(sd, sub), exist_ok=True)
+    T = wc.velo_to_front_cam(_front_cam_extrinsic())
+    box = np.array([15.0, -3.0, 0.1, 3.9, 1.7, 1.5, -0.4])
+    # points clustered inside the box so num_points_in_gt > 0
+    pts = np.zeros((40, 4), np.float32)
+    pts[:, :3] = box[:3] + [0.0, 0.0, 0.5]
+    pts[:, 3] = 0.3
+    pts.tofile(os.path.join(sd, "velodyne", "000000.bin"))
+    P = np.hstack([np.diag([700.0, 700.0, 1.0]), np.zeros((3, 1))])
+    lines = [f"P{i}: " + " ".join(f"{v:e}" for v in P.reshape(12))
+             for i in range(4)]
+    lines.append("R0_rect: " + " ".join(
+        f"{v:e}" for v in np.eye(3).reshape(9)))
+    lines.append("Tr_velo_to_cam: " + " ".join(
+        f"{v:e}" for v in T[:3].reshape(12)))
+    lines.append("Tr_imu_to_velo: " + " ".join(
+        f"{v:e}" for v in np.eye(4)[:3].reshape(12)))
+    with open(os.path.join(sd, "calib", "000000.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    line = wc.waymo_label_to_kitti_line(
+        "Car", (box[0], box[1], box[2] + box[5] / 2,
+                box[3], box[4], box[5], box[6]), T)
+    with open(os.path.join(sd, "label_2", "000000.txt"), "w") as f:
+        f.write(line.rsplit(" ", 1)[0] + "\n")     # 15-field KITTI label
+
+    kc.create_kitti_info_file(root)
+    with open(os.path.join(root, "kitti_infos_train.pkl"), "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 1
+    assert infos[0]["point_cloud"]["num_features"] == 4
+    assert infos[0]["annos"]["num_points_in_gt"][0] == 40
+
+    caps = CapsConfig(max_points=256, max_voxels=64, max_visible=32)
+    cfg = DataConfig(data_root=root, ann_file="kitti_infos_train.pkl",
+                     sweeps_num=0)
+    voxel = VoxelConfig(point_cloud_range=(-70.0, -70.0, -4.0,
+                                           70.0, 70.0, 4.0))
+    ds = KittiDataset(cfg, voxel, caps)
+    b9, labels = ds.get_ann(0)
+    assert labels.tolist() == [0]
+    np.testing.assert_allclose(b9[0, :7], box, atol=0.02)

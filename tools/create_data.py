@@ -27,7 +27,8 @@ from geomae_tpu.data import converters  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("task", choices=["nuscenes", "nuscenes_ssl",
-                                    "gt_database", "waymo", "waymo_infos"])
+                                    "gt_database", "waymo", "waymo_infos",
+                                    "kitti", "lyft"])
     p.add_argument("--root-path", default="data/nuscenes")
     p.add_argument("--out-dir", default="data/nuscenes")
     p.add_argument("--version", default="v1.0-trainval")
@@ -49,6 +50,14 @@ def main():
         from geomae_tpu.data import waymo_converter
         waymo_converter.create_waymo_info_file(args.root_path,
                                                max_sweeps=args.max_sweeps)
+    elif args.task == "kitti":
+        from geomae_tpu.data import kitti_converter
+        kitti_converter.create_kitti_info_file(args.root_path,
+                                               save_path=args.out_dir)
+    elif args.task == "lyft":
+        converters.create_lyft_infos(args.root_path, args.out_dir,
+                                     version=args.version,
+                                     max_sweeps=args.max_sweeps)
     else:
         converters.create_groundtruth_database(
             args.root_path, args.ann_file, args.out_dir)

@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--wnms", action="store_true",
                    help="weighted NMS (score-weighted box voting) instead "
                         "of hard NMS at test time (reference wnms_cpu)")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   metavar="KEY=VAL",
+                   help="dotted-path config overrides (mmcv --cfg-options)")
     p.add_argument("--dataset", default="nuscenes",
                    choices=["nuscenes", "kitti", "waymo"],
                    help="dataset family; kitti scores with the KITTI "
@@ -48,6 +51,8 @@ def parse_args():
 def main():
     args = parse_args()
     cfg = C.tiny_finetune_config() if args.tiny else C.geomae_finetune_nus()
+    if args.cfg_options:
+        cfg = C.apply_overrides(cfg, args.cfg_options)
     cfg = C.replace(cfg, data=C.replace(cfg.data, data_root=args.data_root,
                                         ann_file=args.ann_file))
 

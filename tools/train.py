@@ -62,6 +62,12 @@ def parse_args():
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu); note JAX_PLATFORMS "
                         "env can be overridden by site TPU plugins")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   metavar="KEY=VAL",
+                   help="dotted-path config overrides, e.g. "
+                        "optim.lr=3e-5 sst.d_model=256 "
+                        "voxel.voxel_size=0.2,0.2,8 (the reference's "
+                        "mmcv --cfg-options, tools/train.py:62-71)")
     return p.parse_args()
 
 
@@ -119,6 +125,8 @@ def main():
         cfg = C.replace(cfg, data=C.replace(
             cfg.data, data_root=args.data_root,
             ann_file=args.ann_file or cfg.data.ann_file))
+    if args.cfg_options:
+        cfg = C.apply_overrides(cfg, args.cfg_options)
 
     batch = args.batch_size or cfg.data.batch_size * n_dev
 
