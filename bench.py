@@ -152,7 +152,8 @@ def main():
     attn = os.environ.get("GEOMAE_ATTN_IMPL")
     ffn = os.environ.get("GEOMAE_FFN_IMPL")
     layout = os.environ.get("GEOMAE_BAND_LAYOUT")
-    if attn or ffn or layout:
+    remat = os.environ.get("GEOMAE_REMAT")
+    if attn or ffn or layout or remat:
         sst = cfg.sst
         if attn:
             sst = replace(sst, attention_impl=attn)
@@ -160,6 +161,8 @@ def main():
             sst = replace(sst, ffn_impl=ffn)
         if layout:
             sst = replace(sst, band_layout=layout)
+        if remat:
+            sst = replace(sst, remat_blocks=remat == "1")
         cfg = replace(cfg, sst=sst)
     rng = np.random.default_rng(0)
     state, tx = init_state(cfg, BATCH, jax.random.PRNGKey(0))

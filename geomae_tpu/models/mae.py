@@ -53,8 +53,10 @@ class GeoMAETargets(NamedTuple):
     Sub-voxel tables are DENSE ``[B, V, S(, 3)]`` like the reference's
     (``..._ssl.py:674-722``) so the loss is pure elementwise arithmetic
     with a free backward — no gathers, no scatters, no sorts anywhere in
-    the differentiated region.  ``low_*`` tables use the reference's
-    row-major ``slot_low`` unit order (matching the heads).
+    the differentiated region.  ``low_*`` tables are in the canonical
+    med-major ``slot_sort`` order; the reference's row-major ``slot_low``
+    relabeling is folded into the low heads' weight columns
+    (``_slot_sort_to_low``), so preds and targets line up elementwise.
     """
 
     low_occ: jnp.ndarray       # [B, V, S_low] bool
@@ -137,8 +139,86 @@ def _centered_vals4_t(scene: Scene, v_cap: int):
     return mu, vals4
 
 
+_SYM_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+
+
+def _moment_feats(table, voxel, sums, mu):
+    """Per-pillar 13-ch moment rows [count | S1 (3) | packed-sym S2 (6) |
+    top centroid (3)] + BEV key — the dense-stencil inputs, factored out
+    so the batched TPU path can build the dense grid OUTSIDE the
+    per-sample vmap (Pallas expand kernel).  Duplicates a slice of
+    :func:`compute_targets`'s centroid math; XLA CSEs the shared subgraph
+    inside one jit.  S2 is symmetric, so 6 packed components replace the
+    9 of a trailing [3, 3] (whose minor dims would tile to (8, 128) —
+    114x physical padding)."""
+    ny, nx = voxel.grid_size
+    v_cap = table.valid.shape[0]
+    s_med = voxel.num_slots_med
+    fan = voxel.num_slots_low // s_med
+    sums_med = sums.reshape(v_cap, s_med, fan, 4).sum(2)
+    sums_top = sums_med.sum(1)
+    occ_med = sums_med[..., 3] > 0.5
+    raw_med = sums_med[..., :3] / jnp.maximum(sums_med[..., 3], 1.0)[
+        ..., None] + mu
+    occ_top = sums_top[..., 3] > 0.5
+    top_raw = sums_top[..., :3] / jnp.maximum(sums_top[..., 3], 1.0)[
+        ..., None] + mu
+    top_raw = jnp.where(occ_top[:, None], top_raw, 0.0)
+    med_table = jnp.where(occ_med[..., None], raw_med, 0.0)
+    of = occ_med.astype(jnp.float32)
+    mt = med_table - top_raw[:, None, :]
+    cm = jnp.sum(of, axis=1)
+    S1 = jnp.einsum("vs,vsi->vi", of, mt)
+    S2 = jnp.stack([jnp.einsum("vs,vs,vs->v", of, mt[..., i], mt[..., j])
+                    for i, j in _SYM_PAIRS], axis=-1)       # [V, 6]
+    feats = jnp.concatenate([cm[:, None], S1, S2, top_raw], axis=-1)
+    key = jnp.where(table.valid,
+                    table.coords[:, 0] * nx + table.coords[:, 1],
+                    ny * nx)
+    return feats, key
+
+
+def _stencil_dense(feats: jnp.ndarray, key: jnp.ndarray, ny: int,
+                   nx: int) -> jnp.ndarray:
+    """Dense BEV moment grid ``[ny*nx + 1, 13]`` from per-pillar rows
+    (``key`` ascending unique; sentinel ny*nx for invalid rows).
+    Non-TPU fallback; the batched TPU path uses the Pallas expand
+    kernel (XLA's scatter-set lowering serializes the updates)."""
+    return jnp.zeros((ny * nx + 1, feats.shape[-1]), jnp.float32) \
+        .at[key].set(feats, mode="drop", unique_indices=True,
+                     indices_are_sorted=True)
+
+
+def _stencil_covs(dense: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
+    """9-tap neighborhood covariance over the dense moment grid.
+
+    Packed-sym output ``[ny, nx, 6]`` (00, 11, 22, 01, 02, 12): every
+    intermediate is a channel vector over the BEV plane — a trailing
+    [3, 3] would tile its minor dims to (8, 128) and physically occupy
+    114x the logical bytes (the round-4 lane-padding lesson)."""
+    grid = dense[:-1].reshape(ny, nx, 13)
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
+    tg = grid[..., 10:13]                          # receiving cell's t
+    acc = [jnp.zeros((ny, nx), jnp.float32) for _ in range(6)]
+    for dy in range(3):
+        for dx in range(3):
+            nb = jax.lax.slice(gp, (dy, dx, 0), (dy + ny, dx + nx, 13))
+            Cn = nb[..., 0]
+            S1n = nb[..., 1:4]
+            S2n = nb[..., 4:10]                    # packed sym
+            # empty neighbor cells have Cn = S1n = S2n = 0 and tn = 0, so
+            # every term vanishes regardless of d
+            d = nb[..., 10:13] - tg
+            for k, (i, j) in enumerate(_SYM_PAIRS):
+                acc[k] = (acc[k] + S2n[..., k]
+                          + S1n[..., i] * d[..., j]
+                          + d[..., i] * S1n[..., j]
+                          + Cn * d[..., i] * d[..., j])
+    return jnp.stack(acc, axis=-1)
+
+
 def compute_targets(scene: Scene, cfg: PretrainConfig,
-                    sums=None, mu=None) -> GeoMAETargets:
+                    sums=None, mu=None, dense=None) -> GeoMAETargets:
     """Pure target computation for one sample (vmap over batch).
 
     The dense per-(pillar, slot) sums come from ONE segmented reduction of
@@ -189,14 +269,14 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     top_norm = _normalize_dense(top_raw[:, None, :], table.coords, [0],
                                 (1, 1, 1), voxel)[:, 0]
 
-    # reorder low tables into the reference's row-major slot_low layout
-    inv = np.argsort(perm)                       # inv[slot_low] = slot_sort
-    low_occ = occ_sort[:, inv]
-    low_tgt = jnp.where(low_occ[..., None], low_norm_sort[:, inv], 0.0)
+    # low tables STAY in the canonical slot_sort order: the reference's
+    # row-major slot_low relabeling is folded into the low heads' WEIGHT
+    # columns instead (GeoMAE.__call__) — a [C, S*k] static gather at
+    # compile time replaces two [B, V, S, 3] table gathers per step
+    low_occ = occ_sort
+    low_tgt = jnp.where(low_occ[..., None], low_norm_sort, 0.0)
 
     c_top = jnp.where(occ_top[:, None], top_norm, 0.0)
-    top_raw = jnp.where(occ_top[:, None], top_raw, 0.0)
-    med_table = jnp.where(occ_med[..., None], raw_med, 0.0)
 
     # ---- normals & curvature from RAW med centroids ------------------------
     # The covariance over the 3x3 neighborhood's occupied med centroids
@@ -207,46 +287,22 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     # world coordinates cancel catastrophically in f32 for far pillars),
     # then translated to the receiving pillar u by d_n = t_n - t_u:
     #   cov_u = sum_n [S2_n + S1_n d^T + d S1_n^T + c_n d d^T]
-    # Neighbor access goes through a dense BEV grid: one sorted-unique
-    # scatter of the 16-ch moment rows, a 9-tap shifted-slice stencil on
-    # the grid, and one row gather back.  The previous per-pillar
-    # ``neighbor_rows`` binary search (searchsorted method='sort' over
-    # 9V queries) plus 9-way row gather measured ~35 ms of the targets
-    # stage on v5e; the dense stencil runs ~2x faster (the spconv
+    # Neighbor access goes through a dense BEV grid: one build of the
+    # 13-ch moment rows (Pallas expand on TPU / sorted-unique scatter
+    # elsewhere — ``_moment_feats``/``_stencil_dense``), a 9-tap
+    # shifted-slice stencil in PACKED-SYM channels, and one row gather
+    # back.  The previous per-pillar ``neighbor_rows`` binary search
+    # (searchsorted method='sort' over 9V queries) plus 9-way row gather
+    # measured ~35 ms of the targets stage on v5e (the spconv
     # ``get_indice_pairs_implicit_gemm`` replacement, ``..._ssl.py:192-207``).
-    of = occ_med.astype(jnp.float32)
-    t = top_raw
-    mt = med_table - t[:, None, :]                 # centered, own frame
-    cm = jnp.sum(of, axis=1)                                  # [V]
-    S1 = jnp.einsum("vs,vsi->vi", of, mt)                     # [V, 3]
-    S2 = jnp.einsum("vs,vsi,vsj->vij", of, mt,
-                    mt).reshape(v_cap, 9)                     # [V, 9]
-    feats = jnp.concatenate([cm[:, None], S1, S2, t], axis=-1)  # [V, 16]
-    key = jnp.where(table.valid,
-                    table.coords[:, 0] * nx + table.coords[:, 1],
-                    ny * nx)                                  # sentinel row
-    dense = jnp.zeros((ny * nx + 1, 16), jnp.float32).at[key].set(
-        feats, mode="drop", unique_indices=True, indices_are_sorted=True)
-    grid = dense[:-1].reshape(ny, nx, 16)
-    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
-    tg = grid[..., 13:16]                          # receiving cell's t
-    covg = jnp.zeros((ny, nx, 3, 3), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            nb = jax.lax.slice(gp, (dy, dx, 0), (dy + ny, dx + nx, 16))
-            Cn = nb[..., 0]
-            S1n = nb[..., 1:4]
-            S2n = nb[..., 4:13].reshape(ny, nx, 3, 3)
-            # empty neighbor cells have Cn = S1n = S2n = 0 and tn = 0, so
-            # every term vanishes regardless of d
-            d = nb[..., 13:16] - tg
-            covg = (covg + S2n
-                    + S1n[..., :, None] * d[..., None, :]
-                    + d[..., :, None] * S1n[..., None, :]
-                    + Cn[..., None, None] * d[..., :, None] * d[..., None, :])
-    cov = scatter.gather_rows(covg.reshape(ny * nx, 9),
-                              key).reshape(v_cap, 3, 3)   # sentinel -> 0
-    normal, curv = normal_and_curvature(cov)
+    feats, key = _moment_feats(table, voxel, sums, mu)
+    if dense is None:
+        dense = _stencil_dense(feats, key, ny, nx)
+    cov6 = scatter.gather_rows(
+        _stencil_covs(dense, ny, nx).reshape(ny * nx, 6),
+        key)                                       # sentinel -> 0
+    from ..ops.eig3 import normal_and_curvature6
+    normal, curv = normal_and_curvature6(cov6)
 
     vmask = table.valid
     return GeoMAETargets(
@@ -283,13 +339,21 @@ def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
     if _targets_use_pallas(scene, use_pallas):
         # channel-major input build + kernel: the row-major vals4
         # [B, P, 4] pads its lane dim to 128 (537 MB at bench shapes)
+        from ..ops.pallas_segreduce import expand_rows_pallas
         from ..ops.pallas_segreduce_t import slot_outer_segment_sum_t
         mu, vals4_t = _centered_vals4_t(scene, v_cap)
         sums = slot_outer_segment_sum_t(
             vals4_t, scene.slot_sort, scene.table.point2voxel,
             cfg.voxel.num_slots_low, v_cap)
-        return jax.vmap(lambda s, sm, m: compute_targets(s, cfg, sm, m))(
-            scene, sums, mu)
+        # dense BEV moment grid via the Pallas expand kernel (batched,
+        # OUTSIDE the vmap): the XLA scatter-set lowering serializes its
+        # 20480 updates (~10 ms at bench shapes)
+        ny, nx = cfg.voxel.grid_size
+        feats, key = jax.vmap(lambda t, sm, m: _moment_feats(
+            t, cfg.voxel, sm, m))(scene.table, sums, mu)
+        dense = expand_rows_pallas(feats, key, ny * nx)
+        return jax.vmap(lambda s, sm, m, d: compute_targets(
+            s, cfg, sm, m, d))(scene, sums, mu, dense)
     return jax.vmap(lambda s: compute_targets(s, cfg))(scene)
 
 
@@ -445,17 +509,31 @@ class GeoMAE(nn.Module):
         xavier = nn.initializers.xavier_uniform()
         head = lambda n, name: nn.Dense(n, dtype=dtype, kernel_init=xavier,
                                         name=name)
+
+        # low heads: params keep the reference slot_low column layout
+        # (torch-ckpt interop unchanged) but OUTPUTS are emitted in the
+        # canonical slot_sort order by permuting the weight columns — a
+        # static [C, S*k] gather fused at compile time.  The targets'
+        # low tables are slot_sort-ordered to match (compute_targets).
+        import numpy as np
+        perm = _slot_sort_to_low(cfg.voxel)      # perm[slot_sort] = slot_low
+
+        def low_head(x, k, name):
+            from .sst import _DenseParams
+            w, b = _DenseParams(C, s_low * k, name=name)()
+            cols = (perm[:, None] * k + np.arange(k)).reshape(-1)
+            y = x @ w[:, cols].astype(dtype) + b[cols].astype(dtype)
+            return y.reshape(B, V, s_low, k)
+
         preds = dict(
-            reg_low=head(s_low * 3, "decoder_pred_low")(cent)
-            .reshape(B, V, s_low, 3),
+            reg_low=low_head(cent, 3, "decoder_pred_low"),
             reg_med=head(s_med * 3, "decoder_pred_med")(cent)
             .reshape(B, V, s_med, 3),
             reg_top=head(3, "decoder_pred_top")(cent),
             nor_top=head(3, "decoder_pred_density_top")(dens),
         )
         if cfg.mae.cls_sub_voxel:
-            preds["cls_low"] = head(s_low * 2, "cls_pred_low")(cent)\
-                .reshape(B, V, s_low, 2)
+            preds["cls_low"] = low_head(cent, 2, "cls_pred_low")
             preds["cls_med"] = head(s_med * 2, "cls_pred_med")(cent)\
                 .reshape(B, V, s_med, 2)
         return preds

@@ -740,3 +740,106 @@ def _gather_bwd(chunk, exact, res, g):
 
 
 segment_gather_pallas.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# expand: key-sorted rows -> dense cell grid (the scatter-set inverse)
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(meta_ref, key_ref, table_hbm, out_ref, tbl, sem, *,
+                   chunk, window):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(table_hbm.at[b], tbl, sem)
+        cp.start()
+        cp.wait()
+
+    start = meta_ref[b, i] * 128          # provable 128-alignment
+    win = tbl[pl.ds(start, window), :]            # [W, 128]
+    kw = key_ref[0, 0:1, pl.ds(start, window)]    # [1, W] f32 keys, lanes
+    c0 = (i * chunk)
+    cells = jax.lax.broadcasted_iota(
+        jnp.float32, (chunk, 1), 0) + jnp.float32(c0)
+    E = (kw == cells).astype(win.dtype)           # [T, W], natural
+    out_ref[0] = jax.lax.dot_general(
+        E, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def expand_rows_pallas(feats, key, n_cells: int,
+                       chunk: int = DEFAULT_CHUNK):
+    """``out[b, c] = feats[b, r]`` where ``key[b, r] == c`` (0 if no row).
+
+    The inverse of :func:`segment_gather_pallas` — replaces the XLA
+    ``zeros.at[key].set(feats)`` dense-grid build, whose TPU lowering
+    serializes the updates (measured ~10 ms at [4, 20480] -> [160001]
+    rows inside the pretrain step; this kernel routes each 512-cell chunk
+    with one one-hot matmul against a 640-row table window).
+
+    Contract: ``key`` ascending per batch row with UNIQUE values in
+    ``[0, n_cells)``; rows with ``key == n_cells`` (the sentinel tail) all
+    land in output row ``n_cells`` summed together (callers discard it).
+    Returns f32 ``[B, n_cells + 1, C]``, exact for f32 inputs (hi/lo
+    channel split).
+    """
+    B, V, C = feats.shape
+    assert C <= 48, C
+    window = chunk + 128
+    n_out = n_cells + 1
+    n_chunks = (n_out + chunk - 1) // chunk
+
+    hi, lo = split_hi_lo(feats.astype(jnp.float32))
+    table = jnp.concatenate(
+        [hi, lo, key.astype(jnp.float32)[..., None]], axis=-1)
+    Cfull = table.shape[-1]
+    table = jnp.pad(table, ((0, 0), (0, 0), (0, 128 - Cfull)))
+    rows = ((V + window + 7) // 8) * 8
+    # pad rows carry an impossible key so they never match a cell
+    pad_tbl = jnp.concatenate([
+        jnp.zeros((B, rows - V, 2 * C), jnp.float32),
+        jnp.full((B, rows - V, 1), 2.0 ** 26, jnp.float32),
+        jnp.zeros((B, rows - V, 127 - 2 * C), jnp.float32)], axis=-1)
+    table = jnp.concatenate([table, pad_tbl], axis=1)
+
+    lane_rows = ((rows + 127) // 128) * 128
+    key_t = jnp.pad(key.astype(jnp.float32), ((0, 0), (0, lane_rows - V)),
+                    constant_values=2.0 ** 26)[:, None, :]   # [B, 1, R]
+
+    # chunk starts: #keys < i*chunk, via a histogram over chunk bins
+    # (pad/sentinel keys clip into the last bin -> affect no start)
+    bins = jnp.clip(key // chunk, 0, n_chunks - 1)
+    counts = jnp.sum(jax.nn.one_hot(bins, n_chunks, dtype=jnp.int32),
+                     axis=1)                                  # [B, nch]
+    starts = jnp.cumsum(counts, axis=-1) - counts
+    meta = jnp.minimum(starts // 128,
+                       (rows - window) // 128).astype(jnp.int32)
+
+    kern = functools.partial(_expand_kernel, chunk=chunk, window=window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, lane_rows), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, 128),
+                               lambda b, i, *_: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_chunks * chunk, 128),
+                                       jnp.float32),
+    )(meta, key_t, table)
+    out = out[:, :n_out]
+    return out[..., :C] + out[..., C:2 * C]

@@ -139,8 +139,10 @@ def build_scene(points: jnp.ndarray, point_valid: jnp.ndarray,
     key = pillar_key * s_low + slot_sort
     key = jnp.where(point_valid, key, INT32_MAX)
 
-    order = jnp.argsort(key)                      # THE one sort
-    key_s = key[order]
+    # THE one sort: sort_key_val emits the sorted keys as a sort OUTPUT,
+    # so no separate key[order] gather
+    key_s, order = jax.lax.sort_key_val(
+        key, jnp.arange(key.shape[0], dtype=jnp.int32))
     valid_s = key_s != INT32_MAX
     pk_s = jnp.where(valid_s, key_s // s_low, INT32_MAX)
     points_s = points[order]                      # one row gather

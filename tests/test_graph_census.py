@@ -9,8 +9,9 @@ abstract eval only — never compiles) and pins the sort/scatter budget, so
 a regression fails CI instead of costing a bench round.
 
 Counts are verified shape-independent: the small-caps trace here matches
-the full bench-caps trace (9 sorts / 2 scatters / 26 pallas_calls,
-2026-08 round 4).
+the full bench-caps trace (9 sorts / 0 scatters / 27 pallas_calls,
+2026-08 round 5: the dense-BEV targets scatter became the Pallas expand
+kernel).
 """
 import importlib.util
 import os
@@ -35,13 +36,13 @@ def _load_census():
 # Budget per primitive for the jitted pretrain step, TPU path.  Every
 # entry below is ACCOUNTED FOR — if you add a legitimate sort/scatter,
 # update the pin in the same change and note the new consumer here:
-#   sort (9): voxelize canonical argsort (2 eqns: :142 key sort,
-#     :166 table-key compaction), window layout argsorts (windows.py
+#   sort (9): voxelize canonical sort_key_val (2 eqns: key sort +
+#     table-key compaction), window layout argsorts (windows.py
 #     :101-102 = 4 across the two shift configs), encoder visible-set
-#     compaction (mae.py:293 = 2), decoder mask-token merge (mae.py:340).
-#   scatter (2): dense-BEV target moments build (mae.py:212), eig3
-#     one-off 3x3 permutation constant (eig3.py:65 — folds away).
-PINNED = {"sort": 9, "scatter": 2, "scatter_add": 0}
+#     compaction (mae.py = 2), decoder mask-token merge (mae.py).
+#   scatter (0): the dense-BEV target moments build became the Pallas
+#     expand kernel (round 5) — no XLA scatters remain in the step.
+PINNED = {"sort": 9, "scatter": 0, "scatter_add": 0}
 
 
 @pytest.mark.slow

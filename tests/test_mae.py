@@ -81,7 +81,9 @@ def dense_oracle(scene_b, cfg, b):
             occ_med[v, s] = True
             c_med[v, s] = norm(pts[sel][:, ::-1].mean(0), v, s, (mz, my, mx),
                                (vz / mz, vy / my, vx / mx))
-    return c_low, occ_low, c_med, occ_med, c_top
+    # targets are slot_sort-ordered; relabel the slot_low oracle tables
+    perm = mae._slot_sort_to_low(cfg.voxel)      # perm[slot_sort] = slot_low
+    return c_low[:, perm], occ_low[:, perm], c_med, occ_med, c_top
 
 
 def test_dense_targets_match_oracle(cfg, setup):

@@ -209,3 +209,29 @@ def test_segment_broadcast_grad(rng, op):
         d2[0, i, j] += eps
         fd = (float(f(jnp.asarray(d2))) - float(f(jnp.asarray(d1)))) / (2 * eps)
         assert abs(float(g[0, i, j]) - fd) < 5e-2, (i, j, op)
+
+
+def test_expand_rows_matches_scatter():
+    """expand_rows_pallas == zeros.at[key].set for unique ascending keys
+    (sentinel tail sums, but callers discard that row)."""
+    from geomae_tpu.ops.pallas_segreduce import expand_rows_pallas
+
+    rng = np.random.default_rng(7)
+    B, V, C, n_cells = 2, 96, 13, 1600
+    feats = (rng.normal(size=(B, V, C)) * 1000).astype(np.float32)
+    keys = np.zeros((B, V), np.int32)
+    for b in range(B):
+        nv = int(rng.integers(40, 80))
+        keys[b, :nv] = np.sort(rng.choice(n_cells, nv, replace=False))
+        keys[b, nv:] = n_cells
+    ref = np.zeros((B, n_cells + 1, C), np.float32)
+    for b in range(B):
+        for r in range(V):
+            ref[b, keys[b, r]] += feats[b, r]
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(lambda f, k: expand_rows_pallas(
+            f, k, n_cells, chunk=512))(jnp.asarray(feats),
+                                       jnp.asarray(keys))
+    # exact (hi/lo split) on real cells; the sentinel row is discarded
+    np.testing.assert_array_equal(np.asarray(out)[:, :n_cells],
+                                  ref[:, :n_cells])

@@ -226,6 +226,13 @@ def _ours_masked(arr, mask_rows):
                            for b in range(mask_rows.shape[0])], 0)
 
 
+def _low_order(arr, cfg):
+    """Our slot_sort-ordered low tables -> reference slot_low order."""
+    from geomae_tpu.models.mae import _slot_sort_to_low
+    inv = np.argsort(_slot_sort_to_low(cfg.voxel))
+    return np.asarray(arr)[:, :, inv]
+
+
 # ---------------------------------------------------------------------------
 # target parity
 # ---------------------------------------------------------------------------
@@ -235,7 +242,8 @@ def test_sub_voxel_occupancy_masks_match(chain):
     ref = chain["ref"]
     mk = chain["mask_rows"]
     np.testing.assert_array_equal(
-        _ours_masked(chain["tg"].low_occ, mk), ref["low_m"].numpy())
+        _ours_masked(_low_order(chain["tg"].low_occ, chain["cfg"]), mk),
+        ref["low_m"].numpy())
     np.testing.assert_array_equal(
         _ours_masked(chain["tg"].med_occ, mk), ref["med_m"].numpy())
 
@@ -244,8 +252,8 @@ def test_centroid_tables_match(chain):
     ref = chain["ref"]
     mk = chain["mask_rows"]
     np.testing.assert_allclose(
-        _ours_masked(chain["tg"].low_tgt, mk), ref["low_t"].numpy(),
-        rtol=1e-4, atol=1e-4)
+        _ours_masked(_low_order(chain["tg"].low_tgt, chain["cfg"]), mk),
+        ref["low_t"].numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(
         _ours_masked(chain["tg"].med_tgt, mk), ref["med_t"].numpy(),
         rtol=1e-4, atol=1e-4)

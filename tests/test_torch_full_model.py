@@ -160,6 +160,11 @@ def test_full_backbone_forward_parity(rng):
                       coors, coors_mask, B)
 
     # ---- compare at masked rows (reference row order == ours) -------------
+    # our low heads emit the canonical slot_sort order (the slot_low
+    # relabeling is folded into the weight columns) -> gather the
+    # reference's slot_low tables at perm for comparison
+    from geomae_tpu.models.mae import _slot_sort_to_low
+    perm = _slot_sort_to_low(cfg.voxel)
     i = 0
     atol = 2e-4
     for b in range(B):
@@ -168,7 +173,8 @@ def test_full_backbone_forward_parity(rng):
         sl = slice(i, i + n)
         np.testing.assert_allclose(
             np.asarray(preds["reg_low"])[b, rows],
-            r_low.numpy()[sl].reshape(n, s_low, 3), atol=atol, rtol=1e-4)
+            r_low.numpy()[sl].reshape(n, s_low, 3)[:, perm], atol=atol,
+            rtol=1e-4)
         np.testing.assert_allclose(
             np.asarray(preds["reg_med"])[b, rows],
             r_med.numpy()[sl].reshape(n, s_med, 3), atol=atol, rtol=1e-4)
@@ -180,7 +186,7 @@ def test_full_backbone_forward_parity(rng):
             atol=atol, rtol=1e-4)
         np.testing.assert_allclose(
             np.asarray(preds["cls_low"])[b, rows],
-            r_cls_low.numpy()[sl].reshape(n, s_low, 2), atol=atol,
+            r_cls_low.numpy()[sl].reshape(n, s_low, 2)[:, perm], atol=atol,
             rtol=1e-4)
         np.testing.assert_allclose(
             np.asarray(preds["cls_med"])[b, rows],
