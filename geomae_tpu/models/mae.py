@@ -372,10 +372,15 @@ def sample_mask(rng: jax.Array, valid: jnp.ndarray,
     B, V = valid.shape
     r = jax.random.uniform(rng, (B, V))
     r = jnp.where(valid, r, jnp.inf)
-    rank = jnp.argsort(jnp.argsort(r, axis=1), axis=1)
-    n_valid = jnp.sum(valid, axis=1, keepdims=True)
+    n_valid = jnp.sum(valid, axis=1)
     len_keep = jnp.floor(n_valid * (1.0 - mask_ratio)).astype(jnp.int32)
-    return (rank < len_keep) & valid
+    # rank < len_keep == r below its len_keep-th order statistic: ONE
+    # value sort instead of the rank construction's two argsorts
+    # (draws are continuous, ties have measure zero)
+    rs = jnp.sort(r, axis=1)
+    thr = jnp.take_along_axis(rs, jnp.minimum(len_keep, V - 1)[:, None], 1)
+    keep = (r < thr) & valid
+    return jnp.where((len_keep >= V)[:, None], valid, keep)
 
 
 def sample_focal_mask(rng: jax.Array, table, gt_boxes, gt_mask,

@@ -105,9 +105,13 @@ def make_layouts(coords: jnp.ndarray, valid: jnp.ndarray, sst: SSTConfig,
         wins.append(w)
         ciws.append(c)
     win_all = jnp.stack(wins)                       # [S, B, V]
-    perm_all = jnp.argsort(win_all, axis=-1, stable=True).astype(jnp.int32)
+    # sort_key_val emits the sorted ids as a sort output (no
+    # take_along_axis gather); within-window tie order is free — the
+    # attention mask only tests same-window membership
+    iota = jnp.broadcast_to(
+        jnp.arange(win_all.shape[-1], dtype=jnp.int32), win_all.shape)
+    win_sorted, perm_all = jax.lax.sort_key_val(win_all, iota)
     inv_all = jnp.argsort(perm_all, axis=-1).astype(jnp.int32)
-    win_sorted = jnp.take_along_axis(win_all, perm_all, axis=-1)
     return tuple(
         WindowLayout(perm=perm_all[s], inv_perm=inv_all[s],
                      win_id=win_sorted[s], coors_in_win=ciws[s])
