@@ -762,8 +762,9 @@ def _expand_kernel(meta_ref, key_ref, table_hbm, out_ref, tbl, sem, *,
     win = tbl[pl.ds(start, window), :]            # [W, 128]
     kw = key_ref[0, 0:1, pl.ds(start, window)]    # [1, W] f32 keys, lanes
     c0 = (i * chunk)
+    # int32 iota then cast: Mosaic's tpu.iota only emits integer vectors
     cells = jax.lax.broadcasted_iota(
-        jnp.float32, (chunk, 1), 0) + jnp.float32(c0)
+        jnp.int32, (chunk, 1), 0).astype(jnp.float32) + jnp.float32(c0)
     E = (kw == cells).astype(win.dtype)           # [T, W], natural
     out_ref[0] = jax.lax.dot_general(
         E, win, (((1,), (0,)), ((), ())),
