@@ -46,6 +46,17 @@ from .vfe import DynamicScatterVFE
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
+# Profiling-only knob (tools/profile_bwd_bisect.py): trace-time choice of a
+# stage whose output gets stop_gradient'ed, attributing backward time by
+# variant deltas.  None (always, outside the profiler) is zero-cost.
+_SG_STAGE: str | None = None
+
+
+def _sg(x, stage: str):
+    if _SG_STAGE == stage:
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, x)
+    return x
+
 
 class GeoMAETargets(NamedTuple):
     """Dense geometric targets; (z, y, x) coordinate order.
@@ -464,6 +475,7 @@ class GeoMAE(nn.Module):
             voxel_feats = DynamicScatterVFE(cfg.vfe, cfg.voxel, dtype,
                                             name="voxel_encoder")(scene,
                                                                   train)
+        voxel_feats = _sg(voxel_feats, "vfe")
 
         # ---- encoder over compacted visible tokens ------------------------
         vis_idx, vis_valid = jax.vmap(
@@ -487,6 +499,7 @@ class GeoMAE(nn.Module):
         x = vis_feats.astype(dtype)
         x = SSTStack(cfg.sst, cfg.mae.encoder_blocks, dtype,
                      name="encoder")(x, enc_data)
+        x = _sg(x, "enc")
 
         # expand encoder outputs back to table rows: the inverse injection
         # (masked rows read the sentinel -> 0; backward gathers by vis_raw)
@@ -509,6 +522,7 @@ class GeoMAE(nn.Module):
         # half the kernel launches; branch 0 = centroid, 1 = density
         dec_out = SSTStackPair(cfg.sst, cfg.mae.decoder_blocks, 2, dtype,
                                name="decoders")(dec_in, dec_data)
+        dec_out = _sg(dec_out, "dec")
         cent, dens = dec_out[0], dec_out[1]
 
         xavier = nn.initializers.xavier_uniform()

@@ -81,6 +81,14 @@ def _head_mask(rows, C, tile, head_dim, h0):
     return rowh == colh
 
 
+def _scale_pow2(head_dim: int) -> bool:
+    """True iff 1/sqrt(head_dim) is a power of two (head_dim a power of
+    FOUR) — then folding the softmax scale into q is bit-exact in any
+    float dtype."""
+    lb = head_dim.bit_length() - 1
+    return head_dim == (1 << lb) and lb % 2 == 0
+
+
 def _proj(t, w_ref, b_ref, dt):
     """(t @ W + b) with f32 accumulation, cast to the compute dtype."""
     return (_dot(t, w_ref[0], ((1,), (0,))).astype(dt) + b_ref[0])
@@ -187,12 +195,24 @@ def _fwd_kernel(nv_ref, winq_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                 stats_ref[0, :, nheads + h:nheads + h + 1] = \
                     lsum[h * tile:(h + 1) * tile]
         else:
+            # fold the softmax scale into the q tile: one [tile, C] mul
+            # replaces a [tile, width] f32 mul PER HEAD.  Bit-exact when
+            # head_dim is a power of four (scale = 2^-k commutes with
+            # rounding); otherwise keep the score-side mul.
+            fold = _scale_pow2(head_dim)
+            if fold:
+                qt = qt * scale
             for h in range(nheads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
-                s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+                s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,)))
+                s = (s + bias) if fold else (s * scale + bias)
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
-                lsum = _dot(e, ones, ((1,), (0,)))
+                # VPU lane-sum beats the MXU ones-matmul (whose [tile, 1]
+                # output pads N to 128 lanes — it costs a full AV):
+                # measured -0.68 ms/pass at decoder scale
+                # (tools/profile_attn_micro.py)
+                lsum = jnp.sum(e, axis=-1, keepdims=True)
                 lsum = jnp.where(nonempty, lsum, 0.0)
                 o = _dot(e.astype(vb.dtype), vb[:, sl], ((1,), (0,)))
                 o = jnp.where(nonempty, o / jnp.maximum(lsum, _EPS), 0.0)
@@ -355,6 +375,9 @@ def _dq_kernel(nv_ref, do_ref, st_ref, winq_ref, wq_ref, bq_ref, wk_ref,
         bias = jnp.where(mask, 0.0, _NEG)
 
         scale = 1.0 / (head_dim ** 0.5)
+        fold = _scale_pow2(head_dim)
+        if fold:
+            qt = qt * scale
         dq_parts = []   # static per-head concat (Mosaic cannot lower
         for h in range(nheads):     # dynamic_update_slice inside pl.when)
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -362,7 +385,8 @@ def _dq_kernel(nv_ref, do_ref, st_ref, winq_ref, wq_ref, bq_ref, wk_ref,
             lrow = st_ref[0, :, nheads + h:nheads + h + 1]
             inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
             dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
-            s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+            s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,)))
+            s = (s + bias) if fold else (s * scale + bias)
             p = jnp.exp(s - m) * inv_l
             dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
             ds = p * (dp - dvo)
@@ -457,6 +481,9 @@ def _dkv_kernel(nv_ref, aux_t_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
         bias = jnp.where(mask, 0.0, _NEG)
 
         scale = 1.0 / (head_dim ** 0.5)
+        fold = _scale_pow2(head_dim)
+        if fold:
+            qb = qb * scale
         dk_parts, dv_parts = [], []     # static concat, see _dq body
         for h in range(nheads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -464,14 +491,15 @@ def _dkv_kernel(nv_ref, aux_t_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
             lrow = qsbuf[slot, 0, nheads + h:nheads + h + 1, :]
             inv_l = jnp.where(lrow > 0, 1.0 / jnp.maximum(lrow, _EPS), 0.0)
             dvo = qsbuf[slot, 0, 2 * nheads + h:2 * nheads + h + 1, :]
-            s = _dot(kt[:, sl], qb[:, sl], ((1,), (1,))) * scale + bias
+            s = _dot(kt[:, sl], qb[:, sl], ((1,), (1,)))
+            s = (s + bias) if fold else (s * scale + bias)
             p = jnp.exp(s - m) * inv_l                         # [tile, width]
             dv_parts.append(_dot(p.astype(dob.dtype), dob[:, sl],
                                  ((1,), (0,))))
             dp = _dot(vt[:, sl], dob[:, sl], ((1,), (1,)))
             ds = p * (dp - dvo)
-            dk_parts.append(_dot(ds.astype(qb.dtype), qb[:, sl],
-                                 ((1,), (0,))) * scale)
+            dkh = _dot(ds.astype(qb.dtype), qb[:, sl], ((1,), (0,)))
+            dk_parts.append(dkh if fold else dkh * scale)
         dk = jnp.concatenate(dk_parts, axis=1)
         dv = jnp.concatenate(dv_parts, axis=1)
         dkc = dk.astype(dt)
@@ -629,6 +657,11 @@ def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
             # accumulators keep full precision; bf16 parts are
             # cotangent-grade)
             dq_parts, dk_parts, dv_parts = [], [], []
+            # scale fold (see _fwd_kernel): with qs = qt * scale the score
+            # recompute drops its per-head [tile, width] mul, and
+            # dk = dot(ds, qt) * scale = dot(ds, qs) exactly
+            fold = _scale_pow2(head_dim)
+            qs = qt * scale if fold else qt
             for h in range(nheads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
                 m = st_ref[0, :, h:h + 1]
@@ -636,7 +669,8 @@ def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
                 inv_l = jnp.where(lrow > 0,
                                   1.0 / jnp.maximum(lrow, _EPS), 0.0)
                 dvo = st_ref[0, :, 2 * nheads + h:2 * nheads + h + 1]
-                s = _dot(qt[:, sl], kb[:, sl], ((1,), (1,))) * scale + bias
+                s = _dot(qs[:, sl], kb[:, sl], ((1,), (1,)))
+                s = (s + bias) if fold else (s * scale + bias)
                 p = jnp.exp(s - m) * inv_l              # [tile, width]
                 dp = _dot(do[:, sl], vb[:, sl], ((1,), (1,)))
                 ds = p * (dp - dvo)
@@ -645,8 +679,8 @@ def _bwd_merged_kernel(nv_ref, do_ref, st_ref, wq_ref, bq_ref,
                                  * scale).astype(dt))
                 dv_parts.append(_dot(p.astype(dt), do[:, sl],
                                      ((0,), (0,))).astype(dt))
-                dk_parts.append((_dot(dsc, qt[:, sl], ((0,), (0,)))
-                                 * scale).astype(dt))
+                dkh = _dot(dsc, qs[:, sl], ((0,), (0,)))
+                dk_parts.append((dkh if fold else dkh * scale).astype(dt))
             dqc = jnp.concatenate(dq_parts, axis=1)     # [tile, C] dt
             dkc = jnp.concatenate(dk_parts, axis=1)     # [width, C] dt
             dvc = jnp.concatenate(dv_parts, axis=1)
