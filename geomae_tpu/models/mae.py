@@ -51,6 +51,10 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 # variant deltas.  None (always, outside the profiler) is zero-cost.
 _SG_STAGE: str | None = None
 
+# Profiling-only knob (tools/profile_targets_r5.py): trace-time choice of a
+# targets stage to SKIP (wrong outputs, variant-delta timing only).
+_TGT_SKIP: str | None = None
+
 
 def _sg(x, stage: str):
     if _SG_STAGE == stage:
@@ -273,12 +277,16 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     occ_top, top_raw = _cent(sums_top)          # [V]
 
     perm = _slot_sort_to_low(voxel)             # perm[slot_sort] = slot_low
-    low_norm_sort = _normalize_dense(raw_sort, table.coords, perm,
-                                     voxel.sub_voxel_ratio_low, voxel)
-    med_norm = _normalize_dense(raw_med, table.coords, np.arange(s_med),
-                                voxel.sub_voxel_ratio_med, voxel)
-    top_norm = _normalize_dense(top_raw[:, None, :], table.coords, [0],
-                                (1, 1, 1), voxel)[:, 0]
+    if _TGT_SKIP == "norm":
+        low_norm_sort, med_norm, top_norm = raw_sort, raw_med, top_raw
+    else:
+        low_norm_sort = _normalize_dense(raw_sort, table.coords, perm,
+                                         voxel.sub_voxel_ratio_low, voxel)
+        med_norm = _normalize_dense(raw_med, table.coords,
+                                    np.arange(s_med),
+                                    voxel.sub_voxel_ratio_med, voxel)
+        top_norm = _normalize_dense(top_raw[:, None, :], table.coords,
+                                    [0], (1, 1, 1), voxel)[:, 0]
 
     # low tables STAY in the canonical slot_sort order: the reference's
     # row-major slot_low relabeling is folded into the low heads' WEIGHT
@@ -309,11 +317,17 @@ def compute_targets(scene: Scene, cfg: PretrainConfig,
     feats, key = _moment_feats(table, voxel, sums, mu)
     if dense is None:
         dense = _stencil_dense(feats, key, ny, nx)
-    cov6 = scatter.gather_rows(
-        _stencil_covs(dense, ny, nx).reshape(ny * nx, 6),
-        key)                                       # sentinel -> 0
+    if _TGT_SKIP == "stencil":
+        cov6 = jnp.ones((v_cap, 6), jnp.float32) * dense.sum()
+    else:
+        cov6 = scatter.gather_rows(
+            _stencil_covs(dense, ny, nx).reshape(ny * nx, 6),
+            key)                                   # sentinel -> 0
     from ..ops.eig3 import normal_and_curvature6
-    normal, curv = normal_and_curvature6(cov6)
+    if _TGT_SKIP == "eig":
+        normal, curv = cov6[:, :3], cov6[:, :1]
+    else:
+        normal, curv = normal_and_curvature6(cov6)
 
     vmask = table.valid
     return GeoMAETargets(
@@ -353,16 +367,29 @@ def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
         from ..ops.pallas_segreduce import expand_rows_pallas
         from ..ops.pallas_segreduce_t import slot_outer_segment_sum_t
         mu, vals4_t = _centered_vals4_t(scene, v_cap)
-        sums = slot_outer_segment_sum_t(
-            vals4_t, scene.slot_sort, scene.table.point2voxel,
-            cfg.voxel.num_slots_low, v_cap)
+        if _TGT_SKIP == "slotouter":
+            # keep the channel-major input build alive via a full
+            # reduction; only the slot-outer kernel itself drops out
+            B = vals4_t.shape[0]
+            sums = jnp.ones(
+                (B, v_cap, cfg.voxel.num_slots_low, 4), jnp.float32
+            ) * vals4_t.sum(axis=(1, 2))[:, None, None, None]
+        else:
+            sums = slot_outer_segment_sum_t(
+                vals4_t, scene.slot_sort, scene.table.point2voxel,
+                cfg.voxel.num_slots_low, v_cap)
         # dense BEV moment grid via the Pallas expand kernel (batched,
         # OUTSIDE the vmap): the XLA scatter-set lowering serializes its
         # 20480 updates (~10 ms at bench shapes)
         ny, nx = cfg.voxel.grid_size
         feats, key = jax.vmap(lambda t, sm, m: _moment_feats(
             t, cfg.voxel, sm, m))(scene.table, sums, mu)
-        dense = expand_rows_pallas(feats, key, ny * nx)
+        if _TGT_SKIP == "expand":
+            dense = jnp.ones((feats.shape[0], ny * nx + 1, 13),
+                             jnp.float32) * feats.sum((1, 2))[:, None,
+                                                              None]
+        else:
+            dense = expand_rows_pallas(feats, key, ny * nx)
         return jax.vmap(lambda s, sm, m, d: compute_targets(
             s, cfg, sm, m, d))(scene, sums, mu, dense)
     return jax.vmap(lambda s: compute_targets(s, cfg))(scene)

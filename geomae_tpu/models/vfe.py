@@ -35,6 +35,10 @@ torch_linear_init = nn.initializers.variance_scaling(
 
 _SEG_CHUNK = 512
 
+# Profiling-only knob (tools/profile_vfe_r5.py): trace-time choice of a
+# VFE stage to SKIP (wrong outputs, variant-delta timing only).
+_VFE_SKIP: str | None = None
+
 
 def _use_pallas(P: int) -> bool:
     """Default ON on TPU (GEOMAE_PALLAS_SEGREDUCE=0 disables): the
@@ -351,7 +355,11 @@ class DynamicScatterVFE(nn.Module):
         feats = [pts_t]
         if self.cfg.with_cluster_center:
             d = jnp.where(pvn, xyz_t, 0.0).astype(jnp.float32)
-            pmean = segment_broadcast_t(d, p2v, v_cap, "mean", _SEG_CHUNK)
+            if _VFE_SKIP == "mean":
+                pmean = d + 1.0
+            else:
+                pmean = segment_broadcast_t(d, p2v, v_cap, "mean",
+                                            _SEG_CHUNK)
             feats.append(xyz_t - pmean.astype(pts_t.dtype))
         if self.cfg.with_voxel_center:
             # per-axis low_voxel_coords formula (ops/voxelize.py:84-95)
@@ -388,12 +396,20 @@ class DynamicScatterVFE(nn.Module):
                                  self.dtype, name=f"vfe_{i}")(x, pv, train)
             if i != len(chans) - 1:
                 d = jnp.where(pvn, x, neutral)
-                mb = segment_broadcast_t(d, p2v, v_cap, "max", _SEG_CHUNK)
+                if _VFE_SKIP == "maxb":
+                    mb = d + 1.0
+                else:
+                    mb = segment_broadcast_t(d, p2v, v_cap, "max",
+                                             _SEG_CHUNK)
                 mb = jnp.where(pvn, mb, 0).astype(self.dtype)
                 x = jnp.concatenate([x, mb], axis=1)
             else:
                 d = jnp.where(pvn, x, neutral)
-                vmax = segment_reduce_t(d, p2v, v_cap, True, _SEG_CHUNK)
+                if _VFE_SKIP == "final":
+                    vmax = d[:, :, :v_cap].astype(jnp.float32)
+                else:
+                    vmax = segment_reduce_t(d, p2v, v_cap, True,
+                                            _SEG_CHUNK)
                 vmax = jnp.where(table.valid[:, None, :], vmax, 0.0)
 
         return jnp.swapaxes(vmax, 1, 2).astype(self.dtype)
