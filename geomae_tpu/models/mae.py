@@ -375,9 +375,13 @@ def compute_targets_batch(scene: Scene, cfg: PretrainConfig,
                 (B, v_cap, cfg.voxel.num_slots_low, 4), jnp.float32
             ) * vals4_t.sum(axis=(1, 2))[:, None, None, None]
         else:
+            # chunk 256: the slot-outer kernel is one-hot-AREA-bound
+            # ((chunk+128) x P per slot group) — measured 7.7 ms vs
+            # 10-17 at chunk 512 (tools/profile_segops.py, v5e); the
+            # scan-bound max/mean ops stay at 512
             sums = slot_outer_segment_sum_t(
                 vals4_t, scene.slot_sort, scene.table.point2voxel,
-                cfg.voxel.num_slots_low, v_cap)
+                cfg.voxel.num_slots_low, v_cap, chunk=256)
         # dense BEV moment grid via the Pallas expand kernel (batched,
         # OUTSIDE the vmap): the XLA scatter-set lowering serializes its
         # 20480 updates (~10 ms at bench shapes)
