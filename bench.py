@@ -35,7 +35,7 @@ from geomae_tpu.train.pretrain import init_state, make_train_step
 # at batch 4 on A100-class GPUs => ~10.5 samples/s.
 REFERENCE_SAMPLES_PER_SEC = 10.5
 
-BATCH = 4
+BATCH = int(os.environ.get("GEOMAE_BENCH_BATCH", "4"))
 STEPS = 20
 WARMUP = 3
 

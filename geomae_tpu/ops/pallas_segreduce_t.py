@@ -112,8 +112,17 @@ def _reduce_kernel_t(meta_ref, x_ref, idl_ref, out_hbm, acc, sem,
                      *, chunk, op, num_segments, rows):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    neutral = _NEG if op == "max" else 0.0
     W = chunk + _LANE
+    # native-dtype max path: bf16-born payloads STREAM and ACCUMULATE in
+    # bf16 (half the HBM/DMA bytes, no XLA-side f32 copy, half the acc
+    # VMEM) — every step is pure SELECTION of bf16 values, so the result
+    # is bit-identical to the f32 path.  The routing dot's one-hot
+    # selects exactly ONE end row per output element (sum of one term),
+    # so the f32-accumulated dot output casts back losslessly.  The
+    # Hillis-Steele scan itself runs f32 IN-VMEM: Mosaic has no bf16
+    # lane rotate ("Rotate with non-32-bit data").
+    dt = x_ref.dtype
+    neutral = jnp.asarray(_NEG if op == "max" else 0.0, dt)
 
     @pl.when(i == 0)
     def _():
@@ -131,19 +140,20 @@ def _reduce_kernel_t(meta_ref, x_ref, idl_ref, out_hbm, acc, sem,
         while k < chunk:
             ok = (pos >= k) & (seg_l == pltpu.roll(seg_l, k, 1))
             xm = jnp.maximum(xm, jnp.where(ok, pltpu.roll(xm, k, 1),
-                                           neutral))
+                                           _NEG))
             k *= 2
         # segment-end mask stays lane-oriented; zeroing Eg columns routes
         # only end rows
         is_end = (seg_l != pltpu.roll(seg_l, chunk - 1, 1)) \
             | (pos == chunk - 1)                       # [1, chunk]
         Ee = jnp.where(is_end, Eg, 0.0)
-        Wv = _dot_t(xm, Ee)                            # [C, W]
+        Wv = _dot_t(xm, Ee).astype(dt)                 # [C, W]
         has_end = _dot_t(jnp.ones((1, chunk), jnp.float32), Ee) > 0.5
         Wv = jnp.where(has_end, Wv, neutral)
         acc[:, pl.ds(start, W)] = jnp.maximum(acc[:, pl.ds(start, W)], Wv)
     else:
-        acc[:, pl.ds(start, W)] = acc[:, pl.ds(start, W)] + _dot_t(x, Eg)
+        acc[:, pl.ds(start, W)] = acc[:, pl.ds(start, W)] \
+            + _dot_t(x, Eg).astype(dt)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -157,7 +167,11 @@ def _reduce_forward_t(x, seg_ids, num_segments, is_max, chunk, exact=True):
     assert P % chunk == 0, (P, chunk)
     dtype = x.dtype
     split = exact and not is_max and jnp.dtype(dtype) == jnp.float32
-    xin = x.astype(jnp.float32)
+    # bf16-born max payloads stay bf16 end to end (no XLA-side f32 copy
+    # of the [B, C, P] stream — 537 MB at bench shapes); selection is
+    # bit-exact in either dtype.  Sums always accumulate f32.
+    native = is_max and jnp.dtype(dtype) == jnp.bfloat16
+    xin = x if native else x.astype(jnp.float32)
     if split:
         hi, lo = split_hi_lo(xin)
         xin = jnp.concatenate([hi, lo], axis=1)
@@ -180,18 +194,18 @@ def _reduce_forward_t(x, seg_ids, num_segments, is_max, chunk, exact=True):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((Cp, rows), jnp.float32),
+            pltpu.VMEM((Cp, rows), xin.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Cp, rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Cp, rows), xin.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, xin, idl)
     if split:
-        out = out[:, :2 * C]
+        out = out[:, :2 * C].astype(jnp.float32)
         return (out[:, :C] + out[:, C:]).astype(dtype)
     return out[:, :C].astype(dtype)
 
@@ -241,7 +255,11 @@ def _bcast_kernel_t(meta_ref, x_ref, idl_ref, out_ref, acc, *,
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
-    neutral = _NEG if op == "max" else 0.0
+    # native-dtype max: see _reduce_kernel_t — bf16-born payloads stream,
+    # route and accumulate in bf16, bit-identical (pure selection); the
+    # scan runs f32 in-VMEM (Mosaic has no bf16 lane rotate)
+    dt = x_ref.dtype
+    neutral = jnp.asarray(_NEG if op == "max" else 0.0, dt)
     W = chunk + _LANE
 
     @pl.when((g == 0) & (i == 0))
@@ -262,19 +280,19 @@ def _bcast_kernel_t(meta_ref, x_ref, idl_ref, out_ref, acc, *,
             while k < chunk:
                 ok = (pos >= k) & (seg_l == pltpu.roll(seg_l, k, 1))
                 xm = jnp.maximum(xm, jnp.where(ok, pltpu.roll(xm, k, 1),
-                                               neutral))
+                                               _NEG))
                 k *= 2
             is_end = (seg_l != pltpu.roll(seg_l, chunk - 1, 1)) \
                 | (pos == chunk - 1)
             Ee = jnp.where(is_end, Eg, 0.0)
-            Wv = _dot_t(xm, Ee)
+            Wv = _dot_t(xm, Ee).astype(dt)
             has_end = _dot_t(jnp.ones((1, chunk), jnp.float32), Ee) > 0.5
             Wv = jnp.where(has_end, Wv, neutral)
             acc[:, pl.ds(start, W)] = jnp.maximum(acc[:, pl.ds(start, W)],
                                                   Wv)
         else:
             acc[:, pl.ds(start, W)] = acc[:, pl.ds(start, W)] \
-                + _dot_t(x, Eg)
+                + _dot_t(x, Eg).astype(dt)
 
     @pl.when(g == 1)
     def _():
@@ -287,7 +305,9 @@ def _bcast_kernel_t(meta_ref, x_ref, idl_ref, out_ref, acc, *,
             w_hi = c - (c - window)
             y = _dot(w_hi, Eg) + _dot(window - w_hi, Eg)
         else:
-            y = _dot(window, Eg)                        # [C, chunk]
+            # max tables hold selected values — the one-hot gather sums
+            # exactly one term per output, exact in any dtype
+            y = _dot(window, Eg.astype(dt))             # [C, chunk]
         y = jnp.where(seg_l < float(num_segments), y, 0.0)
         out_ref[0] = y.astype(out_ref.dtype)
 
@@ -297,7 +317,9 @@ def _bcast_forward_t(x, seg_ids, num_segments, op, chunk, exact=True):
     assert P % chunk == 0, (P, chunk)
     dtype = x.dtype
     split = (exact and op != "max" and jnp.dtype(dtype) == jnp.float32)
-    xin = x.astype(jnp.float32)
+    # bf16-born max payloads stay bf16 end to end (see _reduce_forward_t)
+    native = op == "max" and jnp.dtype(dtype) == jnp.bfloat16
+    xin = x if native else x.astype(jnp.float32)
     if split:
         hi, lo = split_hi_lo(xin)
         xin = jnp.concatenate([hi, lo], axis=1)
@@ -329,13 +351,13 @@ def _bcast_forward_t(x, seg_ids, num_segments, op, chunk, exact=True):
             lambda b, g, i, *_: (b, 0, i * g + nsteps * (1 - g)),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Cp, rows), jnp.float32),
+            pltpu.VMEM((Cp, rows), xin.dtype),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Cp, P + chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Cp, P + chunk), xin.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(meta, xin, idl)
     out = out[:, :, :P]

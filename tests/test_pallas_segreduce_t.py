@@ -196,3 +196,42 @@ def test_reduce_t_vjp_max(rng):
             am = sel[np.argmax(xn[c, sel])]
             want[c, am] += gn[c, s]
     np.testing.assert_allclose(dx[0], want, rtol=1e-4, atol=1e-4)
+
+def test_reduce_t_max_bf16_native(rng):
+    """bf16-born max payloads ride the native-dtype path (no f32
+    upcast): results must be bit-identical to the f32 path and the VJP
+    hit-equality must still fire."""
+    x, ids, S = make_case(rng, C=4)
+    xb = x.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(segment_reduce_t(xb, ids, S, True, chunk=CHUNK)
+                         .astype(jnp.float32))
+        ref = np.asarray(segment_reduce_t(
+            xb.astype(jnp.float32), ids, S, True, chunk=CHUNK))
+    occ = ref > -1.0e38
+    np.testing.assert_array_equal(got[occ], ref[occ])
+
+    def f(v):
+        o = segment_reduce_t(v, ids, S, True, chunk=CHUNK)
+        return jnp.where(o.astype(jnp.float32) > -1e38,
+                         o.astype(jnp.float32), 0.0).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(f)(xb)
+    g = np.asarray(g.astype(jnp.float32))
+    assert np.isfinite(g).all()
+    # every occupied segment's max contributes exactly once per channel
+    # (ties have measure ~0 for random data)
+    assert g.sum() == pytest.approx(float(occ.sum()), rel=1e-3)
+
+
+def test_broadcast_t_max_bf16_native(rng):
+    x, ids, S = make_case(rng, C=4)
+    xb = x.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(segment_broadcast_t(xb, ids, S, "max",
+                                             chunk=CHUNK)
+                         .astype(jnp.float32))
+        ref = np.asarray(segment_broadcast_t(
+            xb.astype(jnp.float32), ids, S, "max", chunk=CHUNK))
+    np.testing.assert_array_equal(got, ref)
