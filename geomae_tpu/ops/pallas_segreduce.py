@@ -517,7 +517,10 @@ def _bcast_forward(x, seg_ids, num_segments, op, chunk, exact=True):
         num_scalar_prefetch=1,
         grid=(B, 2, nsteps),
         in_specs=[
-            pl.BlockSpec((1, chunk, Cp), lambda b, g, i, *_: (b, i, 0),
+            # x is only read in sweep 0 — park the block during sweep 1
+            # (see the channel-major twin)
+            pl.BlockSpec((1, chunk, Cp),
+                         lambda b, g, i, *_: (b, i * (1 - g), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, 2), lambda b, g, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),

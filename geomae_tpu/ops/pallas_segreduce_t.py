@@ -340,7 +340,11 @@ def _bcast_forward_t(x, seg_ids, num_segments, op, chunk, exact=True):
         num_scalar_prefetch=1,
         grid=(B, 2, nsteps),
         in_specs=[
-            pl.BlockSpec((1, Cp, chunk), lambda b, g, i, *_: (b, 0, i),
+            # x is only read in sweep 0 — park the block at index 0
+            # during sweep 1 so the pipeline doesn't re-stream the whole
+            # [B, C, P] input a second time
+            pl.BlockSpec((1, Cp, chunk),
+                         lambda b, g, i, *_: (b, 0, i * (1 - g)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk), lambda b, g, i, *_: (b, 0, i),
                          memory_space=pltpu.VMEM),
